@@ -1,0 +1,16 @@
+import os
+
+# Run the suite on CPU with 8 virtual devices so sharding paths are testable
+# without TPU hardware. Must be set before jax is imported anywhere.
+# Hard override: the session environment exports JAX_PLATFORMS=axon (the
+# tunneled TPU); unit tests must be hermetic and fast on CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# A pytest plugin may have imported jax before this conftest ran, in which
+# case the env var is too late — force the platform through the config too.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
