@@ -85,12 +85,12 @@ def plane_from_depth_normal(K: Array, x: Array, y: Array, depth: Array, normal: 
 
 def normal_cam_to_world(R: Array, normal: Array) -> Array:
     """n_world = R^T n_cam. Reference: TransformNormal (PatchMatch.cu:89-97)."""
-    return jnp.einsum("ji,...j->...i", R, normal)
+    return jnp.einsum("...ji,...j->...i", R, normal)
 
 
 def normal_world_to_cam(R: Array, normal: Array) -> Array:
     """n_cam = R n_world. Reference: TransformNormal2RefCam (PatchMatch.cu:308-316)."""
-    return jnp.einsum("ij,...j->...i", R, normal)
+    return jnp.einsum("...ij,...j->...i", R, normal)
 
 
 def relative_pose(R_ref: Array, C_ref: Array, R_src: Array, C_src: Array):
@@ -169,7 +169,7 @@ def backproject_world(K: Array, R: Array, C: Array, x: Array, y: Array, depth: A
     Get3DPointonWorld (PatchMatch.cpp:211-230).
     """
     Xc = backproject_cam(K, x, y, depth)
-    return jnp.einsum("ji,...j->...i", R, Xc) + C
+    return jnp.einsum("...ji,...j->...i", R, Xc) + C
 
 
 def project_camera(K: Array, R: Array, t: Array, X: Array):

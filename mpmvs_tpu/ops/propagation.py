@@ -1,0 +1,379 @@
+"""Adaptive checkerboard propagation + hypothesis refinement.
+
+TPU-native re-design of CheckerboardPropagation / PlaneHypothesisRefinement
+(reference: src/PatchMatch.cu:642-998). The CUDA version runs one thread per
+half-grid pixel with data-dependent register loops; here the whole image is
+updated as dense array ops and the red/black phase is a write mask — the
+two-phase schedule (black reads red's fresh values and vice versa) is
+preserved exactly, it is what makes in-place propagation race-free
+(PatchMatch.cu:1000-1019).
+
+The 8 sample regions (4 diagonal "V" wings x12 candidates, 4 axial strips
+x10 candidates reaching +-23 px — PatchMatch.cu:769-779) each contribute the
+neighbor with minimum *current* cost; each winner's plane is then scored
+against all source views at the center pixel.
+
+Documented deviations from reference quirks (SURVEY.md §7e):
+  * candidates whose entire region fell outside the image get +inf final
+    cost instead of garbage-from-uninitialized-registers (PatchMatch.cu:795);
+    interior pixels (>23 px from a border) are unaffected.
+  * a zero Monte-Carlo weight-sum keeps the pixel's state instead of
+    poisoning the cost map with NaNs (0/0 at PatchMatch.cu:897).
+  * in prior mode, adopting a candidate also updates the stored cost; the
+    reference writes the cost but then overwrites it with the stale local
+    `cost_now` after refinement (PatchMatch.cu:963 vs :993).
+  * the refinement geometric-cost accumulator uses the view's weight, fixing
+    the reference's loop-index slip (`view_weights[i]`, PatchMatch.cu:689).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mpmvs_tpu import geometry as geo
+from mpmvs_tpu.ops import random as pmrand
+from mpmvs_tpu.ops.ncc import ncc_cost, ncc_cost_multi
+from mpmvs_tpu.ops.geom_cost import geom_consistency_cost
+from mpmvs_tpu.ops.sampling import shift_2d
+from mpmvs_tpu.ops.view_selection import monte_carlo_view_weights
+
+Array = jax.Array
+
+# Sample regions: (dx, dy) offsets, np = p + offset (PatchMatch.cu:769-779).
+# 0: up-V, 1: down-V, 2: left-V, 3: right-V, 4-7: up/down/left/right strips.
+DIRS: Tuple[Tuple[Tuple[int, int], ...], ...] = (
+    ((-5, -6), (5, -6), (-6, -7), (6, -7), (-7, -8), (7, -8), (-8, -9), (8, -9),
+     (-9, -10), (9, -10), (-10, -11), (10, -11)),
+    ((-5, 6), (5, 6), (-6, 7), (6, 7), (-7, 8), (7, 8), (-8, 9), (8, 9),
+     (-9, 10), (9, 10), (-10, 11), (10, 11)),
+    ((-6, -5), (-6, 5), (-7, -6), (-7, 6), (-8, -7), (-8, 7), (-9, -8), (-9, 8),
+     (-10, -9), (-10, 9), (-11, -10), (-11, 10)),
+    ((6, -5), (6, 5), (7, -6), (7, 6), (8, -7), (8, 7), (9, -8), (9, 8),
+     (10, -9), (10, 9), (11, -10), (11, 10)),
+    ((0, -5), (0, -7), (0, -9), (0, -11), (0, -13), (0, -15), (0, -17),
+     (0, -19), (0, -21), (0, -23)),
+    ((0, 5), (0, 7), (0, 9), (0, 11), (0, 13), (0, 15), (0, 17), (0, 19),
+     (0, 21), (0, 23)),
+    ((-5, 0), (-7, 0), (-9, 0), (-11, 0), (-13, 0), (-15, 0), (-17, 0),
+     (-19, 0), (-21, 0), (-23, 0)),
+    ((5, 0), (7, 0), (9, 0), (11, 0), (13, 0), (15, 0), (17, 0), (19, 0),
+     (21, 0), (23, 0)),
+)
+
+# Immediate 4-neighbors whose view bitmasks seed the selection prior,
+# gated on the corresponding V-wing having a valid candidate
+# (PatchMatch.cu:788-793, 824-830). Order: up, down, left, right.
+NEIGHBOR_OFFSETS = ((0, -1), (0, 1), (-1, 0), (1, 0))
+
+PROPAGATION_REACH = 23  # max |offset| component — the halo a tile needs
+
+
+class SolveData(NamedTuple):
+    """Per-scene constants for one reference view's solve."""
+
+    ref_img: Array             # (H, W) float32 grayscale
+    src_imgs: Array            # (S, Hp, Wp) padded source images
+    src_widths: Array          # (S,) float valid extents
+    src_heights: Array         # (S,)
+    K_ref: Array               # (3, 3)
+    R_ref: Array
+    t_ref: Array
+    C_ref: Array
+    K_src: Array               # (S, 3, 3)
+    R_src: Array
+    t_src: Array
+    C_src: Array
+    A: Array                   # (S, 3, 3) homography terms
+    b: Array                   # (S, 3)
+    depth_min: Array           # () scalar (already widened 0.6x/1.2x)
+    depth_max: Array
+    src_depths: Optional[Array] = None    # (S, Hp, Wp), geom mode
+    prior_planes: Optional[Array] = None  # (H, W, 4), prior mode
+    prior_mask: Optional[Array] = None    # (H, W) bool
+
+
+class PatchMatchState(NamedTuple):
+    plane: Array      # (H, W, 4) (n_cam, w) during the solve
+    cost: Array       # (H, W)
+    geom_cost: Array  # (H, W)
+    sel: Array        # (H, W) int32 view bitmask
+
+
+def select_candidates(cost: Array, plane: Array):
+    """Per-region min-cost neighbor hypothesis.
+
+    Returns (cand_planes (8, H, W, 4), cand_valid (8, H, W)).
+    Strict-< running min keeps the first minimum like the reference's
+    ``bestConf > nconf`` scan (PatchMatch.cu:809-812).
+    """
+    H, W = cost.shape
+    plane_flat = plane.reshape(H * W, 4)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    cands, valids = [], []
+    for region in DIRS:
+        best_c = jnp.full((H, W), jnp.inf, cost.dtype)
+        best_k = jnp.zeros((H, W), jnp.int32)
+        for k, (dx, dy) in enumerate(region):
+            c = shift_2d(cost, dx, dy, fill=jnp.inf)
+            take = c < best_c
+            best_c = jnp.where(take, c, best_c)
+            best_k = jnp.where(take, k, best_k)
+        valid = jnp.isfinite(best_c)
+        dxs = jnp.asarray([d[0] for d in region], jnp.int32)
+        dys = jnp.asarray([d[1] for d in region], jnp.int32)
+        iy = jnp.clip(yy + jnp.take(dys, best_k), 0, H - 1)
+        ix = jnp.clip(xx + jnp.take(dxs, best_k), 0, W - 1)
+        cands.append(jnp.take(plane_flat, iy * W + ix, axis=0))
+        valids.append(valid)
+    return jnp.stack(cands), jnp.stack(valids)
+
+
+def _weighted_total(costs_v: Array, weights: Array, norm: Array,
+                    geom_v: Optional[Array], geom_weight: float):
+    """sum_s w_s (c_s [+ 0.2 g_s]) / norm, with zero-norm guarded to +inf.
+
+    costs_v/geom_v: (S, H, W); weights: (H, W, S); norm: (H, W).
+    Returns (total (H, W), geom_total (H, W) or None).
+    """
+    w = jnp.moveaxis(weights, -1, 0)  # (S, H, W)
+    safe_norm = jnp.maximum(norm, 1e-30)
+    if geom_v is None:
+        total = jnp.sum(w * costs_v, axis=0) / safe_norm
+        geom_total = None
+    else:
+        g = geom_weight * geom_v
+        total = jnp.sum(w * (costs_v + g), axis=0) / safe_norm
+        geom_total = jnp.sum(w * g, axis=0) / safe_norm
+    total = jnp.where(norm > 0, total, jnp.inf)
+    return total, geom_total
+
+
+def _prior_score(cost: Array, depth: Array, plane_n: Array,
+                 prior_planes: Array, prior_depth: Array,
+                 depth_sigma: Array, angle_sigma: float, gamma: float,
+                 beta: float) -> Array:
+    """Restricted (to-be-maximized) planar-prior score
+    exp(-cost^2/beta) * (gamma + exp(-dd^2/2sd^2) exp(-da^2/2sa^2))
+    (PatchMatch.cu:924-955)."""
+    depth_diff = depth - prior_depth
+    angle_cos = jnp.clip(
+        jnp.sum(prior_planes[..., :3] * plane_n, axis=-1), -1.0, 1.0
+    )
+    angle_diff = jnp.arccos(angle_cos)
+    two_ds2 = 2.0 * depth_sigma * depth_sigma
+    two_as2 = 2.0 * angle_sigma * angle_sigma
+    prior = gamma + jnp.exp(-depth_diff * depth_diff / two_ds2) * jnp.exp(
+        -angle_diff * angle_diff / two_as2
+    )
+    score = jnp.exp(-cost * cost / beta) * prior
+    return jnp.where(jnp.isfinite(cost), score, 0.0)
+
+
+def checkerboard_step(
+    state: PatchMatchState,
+    data: SolveData,
+    params,
+    scale: int,
+    iteration: Array,
+    phase: Array,
+    key: Array,
+    geom: bool,
+    prior: bool,
+) -> PatchMatchState:
+    """One half-iteration (one checkerboard color) of the solver."""
+    H, W = state.cost.shape
+    S = data.src_imgs.shape[0]
+    x, y = geo.pixel_grid(H, W)
+    offsets = params.tap_offsets(scale)
+    k_mc, k_ref1, k_ref2, k_ref3, k_ref4, k_prior = jax.random.split(key, 6)
+
+    def ncc(planes, multi=False):
+        fn = ncc_cost_multi if multi else ncc_cost
+        return fn(data.ref_img, data.src_imgs, data.src_widths,
+                  data.src_heights, data.A, data.b, data.K_ref, planes,
+                  offsets, params.sigma_spatial, params.sigma_color,
+                  params.cost_max)
+
+    def gcost(plane):
+        return geom_consistency_cost(
+            data.src_depths, data.src_widths, data.src_heights,
+            data.K_ref, data.R_ref, data.C_ref, data.t_ref,
+            data.K_src, data.R_src, data.t_src, data.C_src,
+            plane, x, y, params.geom_cost_max)
+
+    # ---- 1. candidate harvesting + their multi-view photometric costs
+    cand_planes, cand_valid = select_candidates(state.cost, state.plane)
+    cost_array = ncc(cand_planes, multi=True)  # (8, S, H, W)
+
+    # ---- 2. Monte-Carlo view re-selection
+    neighbor_sel = jnp.stack(
+        [shift_2d(state.sel, dx, dy, fill=0) for (dx, dy) in NEIGHBOR_OFFSETS]
+    )
+    weights, weight_norm, temp_selected = monte_carlo_view_weights(
+        k_mc, cost_array, cand_valid, neighbor_sel, cand_valid[:4],
+        iteration, params.num_mc_samples)
+
+    # ---- 3. view-weighted final candidate costs (+ geometric consistency)
+    if geom:
+        geom_array = jax.lax.map(gcost, cand_planes)  # (8, S, H, W)
+    final_costs = []
+    for i in range(8):
+        g_i = geom_array[i] if geom else None
+        total, _ = _weighted_total(cost_array[i], weights, weight_norm,
+                                   g_i, params.geom_weight)
+        final_costs.append(jnp.where(cand_valid[i], total, jnp.inf))
+    final_costs = jnp.stack(final_costs)  # (8, H, W)
+    min_idx = jnp.argmin(final_costs, axis=0)  # (H, W)
+
+    # ---- 4. current hypothesis cost under the new view weights
+    cost_vec_now = ncc(state.plane)
+    geom_vec_now = gcost(state.plane) if geom else None
+    cost_now, geom_now = _weighted_total(cost_vec_now, weights, weight_norm,
+                                         geom_vec_now, params.geom_weight)
+    cost_now = jnp.where(weight_norm > 0, cost_now, state.cost)
+    if geom:
+        geom_now = jnp.where(weight_norm > 0, geom_now, state.geom_cost)
+    else:
+        geom_now = state.geom_cost
+
+    take_flat = lambda arr, idx: jnp.take_along_axis(
+        arr.reshape(8, -1), idx.reshape(1, -1), axis=0).reshape(idx.shape)
+    best_cost = take_flat(final_costs, min_idx)
+    best_valid = take_flat(cand_valid, min_idx) & jnp.isfinite(best_cost)
+    best_plane = jnp.take_along_axis(
+        cand_planes.reshape(8, H * W, 4),
+        min_idx.reshape(1, H * W, 1), axis=0
+    ).reshape(H, W, 4)
+    best_depth = geo.depth_from_plane(data.K_ref, best_plane, x, y)
+    depth_ok = (best_depth >= data.depth_min) & (best_depth <= data.depth_max)
+
+    sel_now = state.sel
+    restricted_now = jnp.zeros((H, W), state.cost.dtype)
+
+    if prior:
+        # prior-regularized adoption (PatchMatch.cu:924-978)
+        angle_sigma = math.pi * params.prior_angle_sigma_deg / 180.0
+        depth_sigma = (data.depth_max - data.depth_min) * params.prior_depth_sigma_frac
+        prior_depth = geo.depth_from_plane(data.K_ref, data.prior_planes, x, y)
+        cand_depths = jax.vmap(
+            lambda p: geo.depth_from_plane(data.K_ref, p, x, y))(cand_planes)
+        restricted = _prior_score(
+            final_costs, cand_depths, cand_planes[..., :3],
+            data.prior_planes[None], prior_depth[None],
+            depth_sigma, angle_sigma, params.prior_gamma, params.prior_beta)
+        restricted = jnp.where(cand_valid, restricted, -jnp.inf)
+        max_idx = jnp.argmax(restricted, axis=0)
+        r_best = take_flat(restricted, max_idx)
+        r_valid = take_flat(cand_valid, max_idx)
+        r_plane = jnp.take_along_axis(
+            cand_planes.reshape(8, H * W, 4),
+            max_idx.reshape(1, H * W, 1), axis=0).reshape(H, W, 4)
+        r_cost = take_flat(final_costs, max_idx)
+        r_depth = take_flat(cand_depths, max_idx)
+        depth_now_cur = geo.depth_from_plane(data.K_ref, state.plane, x, y)
+        r_now = _prior_score(cost_now, depth_now_cur, state.plane[..., :3],
+                             data.prior_planes, prior_depth,
+                             depth_sigma, angle_sigma, params.prior_gamma,
+                             params.prior_beta)
+        r_depth_ok = (r_depth >= data.depth_min) & (r_depth <= data.depth_max)
+        adopt_m = data.prior_mask & r_valid & r_depth_ok & (r_best > r_now)
+        # unmasked pixels use the plain min-cost rule (PatchMatch.cu:969-977);
+        # note the reference does not update selected_views on this sub-path.
+        adopt_u = (~data.prior_mask) & best_valid & depth_ok & (best_cost < cost_now)
+        plane_now = jnp.where(adopt_m[..., None], r_plane,
+                              jnp.where(adopt_u[..., None], best_plane, state.plane))
+        cost_now = jnp.where(adopt_m, r_cost,
+                             jnp.where(adopt_u, best_cost, cost_now))
+        sel_now = jnp.where(adopt_m, temp_selected, state.sel)
+        # On no adoption the refinement baseline stays 0 — the reference
+        # never seeds it with the current plane's score (PatchMatch.cu:922,
+        # :964), so refinement then replaces the plane with the best of its
+        # 5 trials. Faithfully reproduced: it materially drives prior-mode
+        # exploration.
+        restricted_now = jnp.where(adopt_m, r_best, 0.0)
+    else:
+        adopt = best_valid & depth_ok & (best_cost < cost_now)
+        plane_now = jnp.where(adopt[..., None], best_plane, state.plane)
+        cost_now = jnp.where(adopt, best_cost, cost_now)
+        sel_now = jnp.where(adopt, temp_selected, state.sel)
+        if geom:
+            # adopted candidate's geometric share (tracked for GeomCost map)
+            geom_totals = jnp.stack([
+                _weighted_total(cost_array[i], weights, weight_norm,
+                                geom_array[i], params.geom_weight)[1]
+                for i in range(8)])
+            geom_now = jnp.where(adopt, take_flat(geom_totals, min_idx), geom_now)
+
+    # ---- 5. refinement: 5 perturbed hypotheses (PlaneHypothesisRefinement)
+    depth_now = geo.depth_from_plane(data.K_ref, plane_now, x, y)
+    angle_sigma = math.pi * params.prior_angle_sigma_deg / 180.0
+    depth_sigma = (data.depth_max - data.depth_min) * params.prior_depth_sigma_frac
+
+    if prior and not params.legacy_prior_refinement:
+        # intended semantics: prior-guided random draw inside the mask
+        prior_depth_f = geo.depth_from_plane(data.K_ref, data.prior_planes, x, y)
+        d_rand_u = jax.random.uniform(k_ref1, (H, W), jnp.float32,
+                                      minval=data.depth_min, maxval=data.depth_max)
+        d_rand_p = (jax.random.uniform(k_prior, (H, W), jnp.float32) * 6.0
+                    * depth_sigma + prior_depth_f - 3.0 * depth_sigma)
+        depth_rand = jnp.where(data.prior_mask, d_rand_p, d_rand_u)
+        n_rand_u = pmrand.random_normal_field(k_ref2, data.K_ref, x, y)
+        n_rand_p = pmrand.perturbed_normal_field(
+            k_prior, data.K_ref, x, y, data.prior_planes[..., :3], angle_sigma)
+        normal_rand = jnp.where(data.prior_mask[..., None], n_rand_p, n_rand_u)
+    else:
+        # reference behavior: the second block always runs (PatchMatch.cu:660)
+        depth_rand = jax.random.uniform(k_ref1, (H, W), jnp.float32,
+                                        minval=data.depth_min, maxval=data.depth_max)
+        normal_rand = pmrand.random_normal_field(k_ref2, data.K_ref, x, y)
+
+    p = params.refine_perturbation
+    depth_pert = depth_now * (1.0 + (jax.random.uniform(k_ref3, (H, W)) * 2.0 - 1.0) * p)
+    normal_pert = pmrand.perturbed_normal_field(
+        k_ref4, data.K_ref, x, y, plane_now[..., :3], p * math.pi)
+    normal_now = plane_now[..., :3]
+
+    trial_d = [depth_rand, depth_now, depth_rand, depth_now, depth_pert]
+    trial_n = [normal_now, normal_rand, normal_rand, normal_pert, normal_now]
+
+    if prior:
+        prior_depth_f = geo.depth_from_plane(data.K_ref, data.prior_planes, x, y)
+
+    for d_i, n_i in zip(trial_d, trial_n):
+        plane_i = geo.plane_from_depth_normal(data.K_ref, x, y, d_i, n_i)
+        c_v = ncc(plane_i)
+        g_v = gcost(plane_i) if geom else None
+        t_cost, t_geom = _weighted_total(c_v, weights, weight_norm, g_v,
+                                         params.geom_weight)
+        d_before = geo.depth_from_plane(data.K_ref, plane_i, x, y)
+        in_range = (d_before >= data.depth_min) & (d_before <= data.depth_max)
+        if prior:
+            score_i = _prior_score(t_cost, d_i, n_i, data.prior_planes,
+                                   prior_depth_f, depth_sigma, angle_sigma,
+                                   params.prior_gamma, params.prior_beta)
+            adopt_m = data.prior_mask & in_range & (score_i > restricted_now)
+            adopt_u = (~data.prior_mask) & in_range & (t_cost < cost_now)
+            adopt_i = adopt_m | adopt_u
+            restricted_now = jnp.where(adopt_m, score_i, restricted_now)
+        else:
+            adopt_i = in_range & (t_cost < cost_now)
+        plane_now = jnp.where(adopt_i[..., None], plane_i, plane_now)
+        cost_now = jnp.where(adopt_i, t_cost, cost_now)
+        depth_now = jnp.where(adopt_i, d_before, depth_now)
+        if geom:
+            geom_now = jnp.where(adopt_i, t_geom, geom_now)
+
+    # ---- 6. masked write: only the active checkerboard color updates
+    active = ((x.astype(jnp.int32) + y.astype(jnp.int32)) % 2) == phase
+    new_state = PatchMatchState(
+        plane=jnp.where(active[..., None], plane_now, state.plane),
+        cost=jnp.where(active, cost_now, state.cost),
+        geom_cost=jnp.where(active, geom_now, state.geom_cost) if geom else state.geom_cost,
+        sel=jnp.where(active, sel_now, state.sel),
+    )
+    return new_state
