@@ -14,3 +14,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the solver graphs are large and dominate suite
+# time; repeat runs hit the cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mpmvs_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
