@@ -1,0 +1,226 @@
+"""Multi-view depth-map fusion to a colored point cloud.
+
+Vectorized re-design of RunFusion (reference: src/PatchMatch.cpp:287-504).
+The reference walks every pixel of every view serially on the CPU; here each
+reference view's consistency checks run as one (S, H, W) array program
+(device-executable), and views are processed in sequence only to honor the
+consumed-pixel masking semantics: once a pixel contributes to an accepted
+point it is masked out and cannot seed or support later points
+(PatchMatch.cpp:470-474, 491-494).
+
+Documented relaxation: within a single reference view the reference's
+pixel-serial mask updates are replaced by one parallel step — pixels of the
+same view cannot consume each other. Across views the sequential contract is
+exact. (The pixel-serial variant is order-dependent and unparallelizable by
+construction; SURVEY.md §3.4.)
+
+Acceptance (PatchMatch.cpp:403-496): reprojection error < 2 px, relative
+depth difference < 0.01, normal angle < 10 deg; then either static (>= 2
+consistent neighbors) or dynamic consistency
+(sum exp(-(err + 200 dd + 10 ang)) > 0.3 n, n >= 1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpmvs_tpu import geometry as geo
+from mpmvs_tpu.camera import CameraStack
+
+Array = jax.Array
+
+
+class FusionInput(NamedTuple):
+    """All views' data stacked (pad to a common shape beforehand)."""
+
+    depths: Array    # (V, H, W)
+    normals: Array   # (V, H, W, 3) world frame
+    colors: Array    # (V, H, W, 3) BGR float
+    cameras: CameraStack
+    sky_masks: Optional[Array] = None  # (V, H, W) bool, True = sky (skip)
+
+
+class ViewFusion(NamedTuple):
+    points: Array      # (H*W, 3)
+    normals: Array     # (H*W, 3)
+    colors: Array      # (H*W, 3)
+    accept: Array      # (H*W,) bool
+    used: Array        # (S, H, W) bool — which src pixels were consumed
+    src_r: Array       # (S, H, W) int32
+    src_c: Array       # (S, H, W) int32
+
+
+@partial(jax.jit, static_argnames=("use_dynamic",))
+def fuse_one_view(inp: FusionInput, masks: Array, ref_idx: Array,
+                  src_indices: Array, src_valid: Array,
+                  use_dynamic: bool = True) -> ViewFusion:
+    """Consistency-check one reference view against its source views.
+
+    masks: (V, H, W) bool — already-consumed pixels.
+    ref_idx: scalar int; src_indices: (S,) int32 (padded);
+    src_valid: (S,) bool marks real entries.
+    """
+    V, H, W = inp.depths.shape
+    cams = inp.cameras
+    take = lambda arr, i: jnp.take(arr, i, axis=0)
+
+    K_r, R_r, t_r = take(cams.K, ref_idx), take(cams.R, ref_idx), take(cams.t, ref_idx)
+    C_r = -R_r.T @ t_r
+    depth_r = take(inp.depths, ref_idx)
+    normal_r = take(inp.normals, ref_idx)
+    color_r = take(inp.colors, ref_idx)
+    mask_r = take(masks, ref_idx)
+
+    x, y = geo.pixel_grid(H, W)
+    valid_ref = (depth_r > 0.0) & ~mask_r
+    if inp.sky_masks is not None:
+        valid_ref &= ~take(inp.sky_masks, ref_idx)
+
+    Xw = geo.backproject_world(K_r, R_r, C_r, x, y, depth_r)  # (H, W, 3)
+
+    K_s = jnp.take(cams.K, src_indices, axis=0)   # (S, 3, 3)
+    R_s = jnp.take(cams.R, src_indices, axis=0)
+    t_s = jnp.take(cams.t, src_indices, axis=0)
+    C_s = -jnp.einsum("sji,sj->si", R_s, t_s)
+
+    pt, proj_depth = geo.project_camera(
+        K_s[:, None, None], R_s[:, None, None], t_s[:, None, None], Xw[None])
+    # (int)(x + 0.5) rounding of the reference (PatchMatch.cpp:413-414)
+    src_c = jnp.floor(pt[..., 0] + 0.5).astype(jnp.int32)
+    src_r = jnp.floor(pt[..., 1] + 0.5).astype(jnp.int32)
+    in_bounds = ((src_c >= 0) & (src_c < W) & (src_r >= 0) & (src_r < H))
+    cc = jnp.clip(src_c, 0, W - 1)
+    rc = jnp.clip(src_r, 0, H - 1)
+
+    S = src_indices.shape[0]
+    lin = (rc * W + cc).reshape(S, H * W)           # (S, H*W)
+
+    def gather_src(a):
+        sel = jnp.take(a, src_indices, axis=0)      # (S, H, W[, C])
+        if sel.ndim == 3:
+            return jnp.take_along_axis(sel.reshape(S, H * W), lin,
+                                       axis=1).reshape(S, H, W)
+        C = sel.shape[-1]
+        return jnp.take_along_axis(sel.reshape(S, H * W, C), lin[..., None],
+                                   axis=1).reshape(S, H, W, C)
+
+    depth_s = gather_src(inp.depths)
+    normal_s = gather_src(inp.normals)
+    color_s = gather_src(inp.colors)
+    mask_s = gather_src(masks.astype(jnp.int32)) > 0
+
+    Xs = geo.backproject_world(
+        K_s[:, None, None], R_s[:, None, None], C_s[:, None, None],
+        src_c.astype(jnp.float32), src_r.astype(jnp.float32), depth_s)
+    back_pt, _ = geo.project_camera(K_r, R_r, t_r, Xs)
+    reproj_err = jnp.sqrt((x[None] - back_pt[..., 0]) ** 2
+                          + (y[None] - back_pt[..., 1]) ** 2)
+    rel_dd = jnp.abs(proj_depth - depth_r[None]) / jnp.maximum(depth_r[None], 1e-12)
+    dot = jnp.clip(jnp.sum(normal_r[None] * normal_s, axis=-1), -1.0, 1.0)
+    angle = jnp.arccos(dot)
+    angle = jnp.where(jnp.isnan(angle), 0.0, angle)
+
+    consistent = (in_bounds & ~mask_s & (depth_s > 0.0)
+                  & (reproj_err < 2.0) & (rel_dd < 0.01)
+                  & (angle < 0.174533)
+                  & src_valid[:, None, None])
+    # reference quirk kept: the last source view is skipped when nothing
+    # before it was consistent (PatchMatch.cpp:404-405).
+    if S > 1:
+        n_before_last = jnp.sum(consistent[:-1], axis=0)
+        last_gate = jnp.where(src_valid[-1] & (n_before_last > 0),
+                              consistent[-1], False)
+        consistent = jnp.concatenate([consistent[:-1], last_gate[None]], 0)
+
+    n_cons = jnp.sum(consistent, axis=0)
+    dyn_score = jnp.sum(
+        jnp.where(consistent,
+                  jnp.exp(-(reproj_err + 200.0 * rel_dd + 10.0 * angle)),
+                  0.0), axis=0)
+    if use_dynamic:
+        accept = (n_cons >= 1) & (dyn_score > 0.3 * n_cons)
+    else:
+        accept = n_cons >= 2
+    accept &= valid_ref
+
+    cnt = (n_cons + 1.0)[..., None]
+    cw = consistent[..., None]
+    pts = (Xw + jnp.sum(jnp.where(cw, Xs, 0.0), axis=0)) / cnt
+    nrm = (normal_r + jnp.sum(jnp.where(cw, normal_s, 0.0), axis=0)) / cnt
+    col = (color_r + jnp.sum(jnp.where(cw, color_s, 0.0), axis=0)) / cnt
+
+    used = consistent & accept[None]
+    return ViewFusion(
+        points=pts.reshape(-1, 3), normals=nrm.reshape(-1, 3),
+        colors=col.reshape(-1, 3), accept=accept.reshape(-1),
+        used=used, src_r=rc, src_c=cc)
+
+
+def run_fusion(depths, normals, colors, cameras: CameraStack,
+               scenes, use_dynamic: bool = True,
+               sky_masks=None):
+    """Fuse all estimated views into one point cloud.
+
+    depths (V, H, W), normals (V, H, W, 3), colors (V, H, W, 3) BGR,
+    scenes: list of Scene (src_ids[0] == ref id). Returns (points, normals,
+    colors) numpy arrays.
+    """
+    V, H, W = np.asarray(depths).shape
+    inp = FusionInput(
+        depths=jnp.asarray(depths, jnp.float32),
+        normals=jnp.asarray(normals, jnp.float32),
+        colors=jnp.asarray(colors, jnp.float32),
+        cameras=cameras,
+        sky_masks=None if sky_masks is None else jnp.asarray(sky_masks, bool),
+    )
+    masks = jnp.zeros((V, H, W), bool)
+    id2idx = {s.ref_id: i for i, s in enumerate(scenes) if s.estimate}
+    max_src = max((len(s.src_ids) - 1 for s in scenes if s.estimate), default=0)
+    max_src = max(max_src, 1)
+
+    all_pts, all_nrm, all_col = [], [], []
+    for s in scenes:
+        if not s.estimate:
+            continue
+        i = id2idx[s.ref_id]
+        src = [id2idx[j] for j in s.src_ids[1:] if j in id2idx]
+        src_valid = np.zeros(max_src, bool)
+        src_valid[:len(src)] = True
+        src_idx = np.zeros(max_src, np.int32)
+        src_idx[:len(src)] = src
+        out = fuse_one_view(inp, masks, jnp.int32(i),
+                            jnp.asarray(src_idx), jnp.asarray(src_valid),
+                            use_dynamic=use_dynamic)
+        acc = np.asarray(out.accept)
+        all_pts.append(np.asarray(out.points)[acc])
+        all_nrm.append(np.asarray(out.normals)[acc])
+        all_col.append(np.asarray(out.colors)[acc])
+        # consume: the accepted ref pixels and their supporting src pixels
+        masks = _mark_used(masks, out, jnp.int32(i), jnp.asarray(src_idx))
+
+    if not all_pts:
+        z = np.zeros((0, 3), np.float32)
+        return z, z.copy(), z.copy()
+    return (np.concatenate(all_pts), np.concatenate(all_nrm),
+            np.concatenate(all_col))
+
+
+@jax.jit
+def _mark_used(masks: Array, out: ViewFusion, ref_idx: Array,
+               src_indices: Array) -> Array:
+    V, H, W = masks.shape
+    ref_mask = masks[ref_idx] | out.accept.reshape(H, W)
+    masks = masks.at[ref_idx].set(ref_mask)
+    S = src_indices.shape[0]
+    flat = masks.reshape(V, H * W)
+    lin = out.src_r * W + out.src_c                     # (S, H, W)
+    for si in range(S):
+        upd = jnp.zeros((H * W,), bool).at[lin[si].reshape(-1)].max(
+            out.used[si].reshape(-1))
+        flat = flat.at[src_indices[si]].max(upd)
+    return flat.reshape(V, H, W)

@@ -1,0 +1,192 @@
+"""Triangulation-based planar prior model.
+
+Host-side subsystem (like the reference's CPU implementation,
+src/PatchMatch.cpp:532-608, 723-853): reliable seed pixels are selected by a
+5x5-block sweep of the cost map, Delaunay-triangulated, each triangle gets a
+least-squares plane through its vertices' current depths, and the
+rasterized triangle index map + per-triangle planes become the
+prior-regularized scoring inputs of the solver's "prior" mode.
+
+Differences from the reference, documented:
+  * Delaunay via scipy.spatial (Qhull) instead of cv::Subdiv2D — same
+    triangulation up to degenerate co-circular ties.
+  * the geometric seed threshold uses the true block-mean cost; the
+    reference divides the block sum by the block's *end coordinates*
+    (PatchMatch.cpp:841 `cost_sum / (r_bound * c_bound)`), which collapses
+    the adaptive term to ~0 away from the origin. Both paths keep the 0.2
+    floor.
+  * rasterization via cv2.fillConvexPoly (exact coverage) instead of the
+    reference's gap-prone barycentric stepping (PatchMatch.cpp:562-570).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from mpmvs_tpu import geometry as geo
+
+
+@dataclasses.dataclass
+class PlanarPrior:
+    planes: np.ndarray      # (H, W, 4) per-pixel prior plane (n, w), cam frame
+    mask: np.ndarray        # (H, W) bool
+    triangles: np.ndarray   # (T, 3, 2) vertex pixel coords (x, y)
+    vertices: np.ndarray    # (N, 2) seed pixel coords (x, y)
+
+
+def select_seeds_photometric(cost: np.ndarray, block: int = 5,
+                             max_cost: float = 0.1) -> np.ndarray:
+    """Best pixel per 5x5 block where cost < 0.1
+    (GetTriangulateVertices, PatchMatch.cpp:787-808). Returns (N, 2) (x, y)."""
+    H, W = cost.shape
+    pts = []
+    for row in range(0, H, block):
+        for col in range(0, W, block):
+            tile = cost[row:row + block, col:col + block]
+            idx = np.argmin(tile)
+            r, c = divmod(idx, tile.shape[1])
+            if tile[r, c] < max_cost:
+                pts.append((col + c, row + r))
+    return np.asarray(pts, np.int32).reshape(-1, 2)
+
+
+def select_seeds_geometric(cost: np.ndarray, geom_cost: np.ndarray,
+                           block: int = 5) -> np.ndarray:
+    """Up to 3 seeds per block with cost<1.0 and geom<0.4, kept under the
+    adaptive threshold max(0.85*block_mean, 0.2)
+    (PatchMatch.cpp:809-851). Returns (N, 2) (x, y)."""
+    H, W = cost.shape
+    pts = []
+    for row in range(0, H, block):
+        for col in range(0, W, block):
+            tile = cost[row:row + block, col:col + block]
+            gtile = geom_cost[row:row + block, col:col + block]
+            ok = (tile < 1.0) & (gtile < 0.4)
+            thresh = max(0.85 * float(tile.mean()), 0.2)
+            if not ok.any():
+                continue
+            flat = np.where(ok.ravel(), tile.ravel(), np.inf)
+            order = np.argsort(flat, kind="stable")[:3]
+            for idx in order:
+                if not np.isfinite(flat[idx]) or flat[idx] >= thresh:
+                    break
+                r, c = divmod(int(idx), tile.shape[1])
+                pts.append((col + c, row + r))
+    return np.asarray(pts, np.int32).reshape(-1, 2)
+
+
+def delaunay_triangulate(points: np.ndarray) -> np.ndarray:
+    """(N, 2) seeds -> (T, 3, 2) triangle vertex coords."""
+    if len(points) < 3:
+        return np.zeros((0, 3, 2), np.int32)
+    from scipy.spatial import Delaunay, QhullError
+    try:
+        tri = Delaunay(points.astype(np.float64))
+    except QhullError:
+        return np.zeros((0, 3, 2), np.int32)
+    return points[tri.simplices].astype(np.int32)
+
+
+def fit_triangle_planes(triangles: np.ndarray, depth: np.ndarray,
+                        K: np.ndarray) -> np.ndarray:
+    """Least-squares plane (n, w) per triangle through its 3 back-projected
+    vertices (GetPriorPlaneParams, PatchMatch.cpp:723-755): solveZ on the
+    3x4 system [X 1], normalized to |n|=1 with sign(w) >= 0."""
+    if len(triangles) == 0:
+        return np.zeros((0, 4), np.float32)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    xs = triangles[..., 0].astype(np.float64)   # (T, 3)
+    ys = triangles[..., 1].astype(np.float64)
+    d = depth[triangles[..., 1], triangles[..., 0]].astype(np.float64)
+    X = np.stack([d * (xs - cx) / fx, d * (ys - cy) / fy, d,
+                  np.ones_like(d)], axis=-1)    # (T, 3, 4)
+    # null vector of each 3x4 system = right singular vector of min sigma
+    _, _, vh = np.linalg.svd(X)
+    n4 = vh[:, -1, :]                           # (T, 4)
+    norm = np.linalg.norm(n4[:, :3], axis=1)
+    norm = np.where(n4[:, 3] < 0, -norm, norm)
+    return (n4 / np.maximum(np.abs(norm), 1e-12)[:, None]
+            * np.sign(norm)[:, None]).astype(np.float32)
+
+
+def rasterize_prior(triangles: np.ndarray, planes: np.ndarray,
+                    height: int, width: int, K: np.ndarray,
+                    depth_min: float, depth_max: float) -> PlanarPrior:
+    """Fill each in-bounds triangle with its index, gather per-pixel planes,
+    and invalidate pixels whose prior depth leaves [depth_min, depth_max]
+    (PatchMatch.cpp:555-595)."""
+    import cv2
+    idx_map = np.zeros((height, width), np.int32)
+    keep = []
+    ti = 0
+    for t in range(len(triangles)):
+        tri = triangles[t]
+        if ((tri[:, 0] < 0).any() or (tri[:, 0] >= width).any()
+                or (tri[:, 1] < 0).any() or (tri[:, 1] >= height).any()):
+            continue
+        cv2.fillConvexPoly(idx_map, tri.reshape(3, 1, 2), int(ti) + 1)
+        keep.append(t)
+        ti += 1
+    kept_planes = planes[keep] if keep else np.zeros((0, 4), np.float32)
+    mask = idx_map > 0
+    plane_px = np.zeros((height, width, 4), np.float32)
+    if ti > 0:
+        plane_px[mask] = kept_planes[idx_map[mask] - 1]
+        # validate prior depth range
+        ys, xs = np.nonzero(mask)
+        fx, fy = K[0, 0], K[1, 1]
+        cx, cy = K[0, 2], K[1, 2]
+        p = plane_px[ys, xs]
+        denom = ((xs - cx) * p[:, 0] + (fx / fy) * (ys - cy) * p[:, 1]
+                 + fx * p[:, 2])
+        d = -p[:, 3] * fx / denom
+        bad = ~((d >= depth_min) & (d <= depth_max) & np.isfinite(d))
+        mask[ys[bad], xs[bad]] = False
+    plane_px[~mask] = 0.0
+    kept_tris = triangles[keep] if keep else np.zeros((0, 3, 2), np.int32)
+    return PlanarPrior(planes=plane_px, mask=mask, triangles=kept_tris,
+                       vertices=np.zeros((0, 2), np.int32))
+
+
+def build_planar_prior(depth: np.ndarray, cost: np.ndarray, K: np.ndarray,
+                       depth_min: float, depth_max: float,
+                       geom_cost: Optional[np.ndarray] = None) -> Optional[PlanarPrior]:
+    """Full prior construction for one view. ``geom_cost`` switches seed
+    selection to the geometric-consistency criterion
+    (params.geomPlanarPrior schedule). Returns None if triangulation is
+    impossible (too few seeds)."""
+    K = np.asarray(K, np.float64)
+    cost = np.asarray(cost)
+    depth = np.asarray(depth)
+    if geom_cost is None:
+        seeds = select_seeds_photometric(cost)
+    else:
+        seeds = select_seeds_geometric(cost, np.asarray(geom_cost))
+    if len(seeds) < 3:
+        return None
+    tris = delaunay_triangulate(seeds)
+    if len(tris) == 0:
+        return None
+    planes = fit_triangle_planes(tris, depth, K)
+    prior = rasterize_prior(tris, planes, depth.shape[0], depth.shape[1], K,
+                            float(depth_min), float(depth_max))
+    prior.vertices = seeds
+    return prior
+
+
+def draw_triangulation(image: np.ndarray, prior: PlanarPrior) -> np.ndarray:
+    """Reference-parity triangulation overlay (red wireframe on the gray
+    reference image — PatchMatch.cpp:576-598)."""
+    import cv2
+    img = np.asarray(image)
+    vis = np.stack([img, img, img], axis=-1).astype(np.uint8)
+    for tri in prior.triangles:
+        pts = [tuple(int(v) for v in p) for p in tri]
+        cv2.line(vis, pts[0], pts[1], (0, 0, 255))
+        cv2.line(vis, pts[0], pts[2], (0, 0, 255))
+        cv2.line(vis, pts[1], pts[2], (0, 0, 255))
+    return vis

@@ -124,8 +124,7 @@ def _initial_state(data: SolveData, params: PatchMatchParams, key: Array,
     return PatchMatchState(plane=plane, cost=cost, geom_cost=geom_cost, sel=sel)
 
 
-@partial(jax.jit, static_argnames=("params", "mode"))
-def solve_view(
+def solve_view_impl(
     images: Array,
     cameras: CameraStack,
     key: Array,
@@ -135,10 +134,18 @@ def solve_view(
     src_depths: Optional[Array] = None,
     prior_planes: Optional[Array] = None,
     prior_mask: Optional[Array] = None,
+    state_sharding=None,
 ) -> SolveResult:
     """Compute one reference view's depth/normal/cost maps.
 
     mode: "photometric" | "geom" | "prior" (see module docstring).
+    Pure (un-jitted) implementation — vmap/shard_map-able; use
+    :func:`solve_view` for the cached single-view entry point.
+
+    ``state_sharding``: optional `jax.sharding.NamedSharding` pinning the
+    leading (row) axis of every state map, e.g. P("tile") — XLA's SPMD
+    partitioner then splits each iteration across devices and inserts the
+    halo exchanges the propagation stencils need (parallel.tile_sharding).
     """
     assert mode in ("photometric", "geom", "prior")
     geom = mode == "geom"
@@ -147,8 +154,14 @@ def solve_view(
                             prior_mask)
     H, W = data.ref_img.shape
 
+    def constrain(st: PatchMatchState) -> PatchMatchState:
+        if state_sharding is None:
+            return st
+        return jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, state_sharding), st)
+
     k_init, k_iter = jax.random.split(key)
-    state = _initial_state(data, params, k_init, mode, warm)
+    state = constrain(_initial_state(data, params, k_init, mode, warm))
 
     n_iter = params.geom_iterations if geom else params.max_iterations
     scales = list(range(params.max_scale, -1, -1)) if mode == "photometric" else [0]
@@ -158,8 +171,9 @@ def solve_view(
             iteration = i // 2
             phase = i % 2
             k = jax.random.fold_in(jax.random.fold_in(k_iter, _si), i)
-            return checkerboard_step(st, data, params, _scale, iteration,
-                                     phase, k, geom, prior)
+            return constrain(checkerboard_step(st, data, params, _scale,
+                                               iteration, phase, k, geom,
+                                               prior))
         state = jax.lax.fori_loop(0, 2 * n_iter, body, state)
 
     # plane -> (depth, world normal) (GetDepthandNormal, PatchMatch.cu:1021-1034)
@@ -169,6 +183,10 @@ def solve_view(
     depth = checkerboard_median_filter(depth, state.cost)
     return SolveResult(depth=depth, normal=normal, cost=state.cost,
                        geom_cost=state.geom_cost)
+
+
+solve_view = jax.jit(solve_view_impl,
+                     static_argnames=("params", "mode", "state_sharding"))
 
 
 class PatchMatchSolver:

@@ -1,0 +1,164 @@
+"""End-to-end pipeline test on an on-disk synthetic workspace, plus
+multi-device sharding tests on the 8-device CPU mesh."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpmvs_tpu.io import read_dmb, read_ply_binary
+from mpmvs_tpu.params import ConfigParams, PatchMatchParams
+from mpmvs_tpu.pipeline import Pipeline
+from mpmvs_tpu.utils.synthetic import make_plane_scene
+from mpmvs_tpu.utils.workspace import write_workspace
+
+FAST = PatchMatchParams(max_iterations=1, geom_iterations=1, max_scale=0)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    scene = make_plane_scene(num_views=3, height=48, width=64, seed=9)
+    folder = str(tmp_path_factory.mktemp("ws"))
+    write_workspace(scene, folder)
+    return folder, scene
+
+
+class TestPipeline:
+    def test_full_run_outputs(self, workspace):
+        folder, scene = workspace
+        cfg = ConfigParams(input_folder=folder, output_folder=folder,
+                           geom_iterations=1, planar_prior=False,
+                           geom_planar_prior=False, sky_seg=False)
+        pipe = Pipeline(cfg, FAST)
+        ply = pipe.run(log=lambda *a: None)
+        assert os.path.exists(ply)
+        pts, nrm, col = read_ply_binary(ply)
+        assert len(pts) > 150  # FAST preset (1 iter) leaves noisy pixels out
+        dist = np.abs(pts @ scene.gt_normal_world)
+        assert np.median(dist) < 0.02, np.median(dist)
+        # reference-layout .dmb outputs exist and are sane
+        for v in range(3):
+            d = read_dmb(os.path.join(folder, "MPMVS", f"2333_{v:08d}",
+                                      "depths.dmb"))
+            assert d.shape == (48, 64)
+            rel = np.abs(d - scene.gt_depth[v]) / scene.gt_depth[v]
+            assert np.median(rel) < 0.02, (v, np.median(rel))
+
+    def test_resume_skips_photometric(self, workspace):
+        folder, scene = workspace
+        cfg = ConfigParams(input_folder=folder, output_folder=folder,
+                           geom_iterations=0, planar_prior=False,
+                           geom_planar_prior=False)
+        pipe = Pipeline(cfg, FAST)
+        calls = []
+        orig = pipe.process_view
+
+        def counting(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        pipe.process_view = counting
+        pipe.load()
+        pipe.run(log=lambda *a: None, resume=True)
+        assert len(calls) == 0  # all views resumed from .dmb checkpoints
+
+
+class TestPriorPipeline:
+    def test_planar_prior_run(self, workspace):
+        folder, scene = workspace
+        cfg = ConfigParams(input_folder=folder, output_folder=folder,
+                           geom_iterations=0, planar_prior=True,
+                           geom_planar_prior=False)
+        pipe = Pipeline(cfg, FAST)
+        pipe.run(log=lambda *a: None)
+        # triangulation overlays written for estimable views
+        assert os.path.exists(os.path.join(folder, "MPMVS", "2333_00000000",
+                                           "triangulation.png"))
+        d = read_dmb(os.path.join(folder, "MPMVS", "2333_00000000",
+                                  "depths.dmb"))
+        rel = np.abs(d - scene.gt_depth[0]) / scene.gt_depth[0]
+        assert np.median(rel) < 0.02
+
+
+class TestSharding:
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as graft
+        graft.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        import __graft_entry__ as graft
+        fn, args = graft.entry()
+        out = jax.jit(fn)(*args)
+        assert np.isfinite(np.asarray(out[0])).all()
+
+    def test_view_sharded_matches_single(self):
+        """Sharded batch solve must equal per-scene solves bit-for-bit."""
+        from mpmvs_tpu.parallel.mesh import make_view_mesh
+        from mpmvs_tpu.parallel.view_sharding import solve_scenes_sharded
+        from mpmvs_tpu.solver import solve_view
+
+        scene = make_plane_scene(num_views=3, height=32, width=48, seed=10)
+        N = 4
+        mesh = make_view_mesh(jax.devices()[:N])
+        images = jnp.broadcast_to(jnp.asarray(scene.images), (N, 3, 32, 48))
+        cameras = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (N,) + a.shape), scene.cameras)
+        keys = jnp.stack([jax.random.PRNGKey(7)] * N)
+        res = solve_scenes_sharded(images, cameras, keys, FAST,
+                                   "photometric", mesh)
+        single = solve_view(jnp.asarray(scene.images), scene.cameras,
+                            jax.random.PRNGKey(7), FAST, "photometric")
+        for i in range(N):
+            np.testing.assert_array_equal(np.asarray(res.depth[i]),
+                                          np.asarray(single.depth))
+
+    def test_tile_sharded_finite(self):
+        from jax.sharding import Mesh
+        from mpmvs_tpu.parallel.tile_sharding import solve_view_spatial
+
+        scene = make_plane_scene(num_views=3, height=64, width=48, seed=11)
+        mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("tile",))
+        res = solve_view_spatial(jnp.asarray(scene.images), scene.cameras,
+                                 jax.random.PRNGKey(0), FAST, "photometric",
+                                 mesh)
+        d = np.asarray(res.depth)
+        assert np.isfinite(d).all()
+        rel = np.abs(d - scene.gt_depth[0]) / scene.gt_depth[0]
+        assert np.median(rel) < 0.02
+
+
+class TestCLI:
+    def test_arg_parsing_overrides(self, tmp_path):
+        from mpmvs_tpu.cli import build_parser, config_from_args
+        args = build_parser().parse_args(
+            ["--input", str(tmp_path), "--geom-iterations", "3",
+             "--planar-prior", "0", "--seed", "5"])
+        cfg = config_from_args(args)
+        assert cfg.geom_iterations == 3
+        assert cfg.planar_prior is False
+        assert cfg.seed == 5
+        assert cfg.output_folder == str(tmp_path)
+
+    def test_missing_input_errors(self):
+        from mpmvs_tpu.cli import build_parser, config_from_args
+        with pytest.raises(SystemExit):
+            config_from_args(build_parser().parse_args([]))
+
+    def test_yaml_config_compat(self, tmp_path):
+        from mpmvs_tpu.params import ConfigParams
+        p = tmp_path / "config.yaml"
+        p.write_text(
+            '%YAML:1.0\n---\nInput-folder: "/data/in"\n'
+            'Output-folder: "/data/out/"\n'
+            "Geometric consistency iterations: 2\nPlaner prior: 1\n"
+            "Geometric consistency planer prior: 0\nSky segment: 0\n"
+            "Use dynamic_consistency to fuse: 1\nMax source images num: 20\n"
+            "Max image size: 3200\n")
+        cfg = ConfigParams.from_yaml(str(p))
+        assert cfg.input_folder == "/data/in"
+        assert cfg.output_folder == "/data/out"  # trailing slash stripped
+        assert cfg.planar_prior and not cfg.geom_planar_prior
+        assert cfg.max_source_images == 20
