@@ -2,11 +2,24 @@
 
 TPU-native re-design of ComputeBilateralNCC (reference:
 src/PatchMatch.cu:325-458). Instead of one CUDA thread looping over a 6x6
-window with texture fetches, the whole (H, W) pixel grid is evaluated at
-once per (tap, view): reference-side taps are *static shifts* (pad+slice, no
-gathers), bilateral weights and reference moments are recomputed on the VPU
-(cheaper than storing 36 x H x W intermediates), and only the source-image
-taps are true gathers (there is no texture unit on TPU).
+window with texture fetches, a whole pixel set is evaluated at once per
+(tap, view): reference-side taps are *static shifts* (pad+slice, no
+gathers), and only the source-image taps are true gathers (there is no
+texture unit on TPU).
+
+Key memory/compute structure (round 2):
+
+  * The reference side of the window — bilateral weights, weighted ref
+    moments, variance — depends only on the reference image, not on the
+    plane hypothesis. :func:`ncc_refside` precomputes it ONCE per pixel set;
+    every hypothesis evaluation (~14 per checkerboard half-iteration:
+    8 propagation candidates + current + 5 refinement trials,
+    PatchMatch.cu:798-998) then reuses it, saving 36 exp/abs/mul chains per
+    extra evaluation.
+  * Evaluations run on an arbitrary pixel set with explicit (x, y)
+    coordinates, so the caller can pass a quincunx-packed (H, W//2) active
+    checkerboard color and/or a row band — the packed+banded form is what
+    bounds peak HBM (see ops/propagation.py and ops/packing.py).
 
 The plane-induced homography is factorized (see geometry.homography_terms)
 so each tap projection is two FMAs on a precomputed homogeneous center +
@@ -20,15 +33,18 @@ Window schedule ("multi-scale windows", the MP of MP-MVS): tap stride
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from mpmvs_tpu import geometry as geo
 from mpmvs_tpu.ops.sampling import bilinear_sample_batched, shift_2d
+from mpmvs_tpu.ops.packing import pack_quincunx
 
 Array = jax.Array
+
+K_MIN_VAR = 1e-5  # degenerate-variance threshold (PatchMatch.cu:406)
 
 
 def spatial_weights(offsets: Sequence[Tuple[int, int]], sigma_spatial: float):
@@ -39,6 +55,126 @@ def spatial_weights(offsets: Sequence[Tuple[int, int]], sigma_spatial: float):
         math.exp(-math.sqrt(dx * dx + dy * dy) / (2.0 * sigma_spatial * sigma_spatial))
         for (dx, dy) in offsets
     ]
+
+
+class NCCRefSide(NamedTuple):
+    """Per-pixel-set reference-window precompute, shared by all hypothesis
+    evaluations at those pixels."""
+
+    w: Array        # (T, …) bilateral weight per tap
+    wr: Array       # (T, …) weight * ref tap value
+    inv_w: Array    # (…,) 1 / sum_k w_k
+    m_ref: Array    # (…,) weighted ref mean
+    var_ref: Array  # (…,) weighted ref variance
+
+
+def ncc_refside(
+    ref_slice: Array,   # (Hs, W) reference rows incl. vertical tap halo
+    halo: int,          # rows of halo above the output region
+    out_rows: int,      # rows in the output region
+    offsets: Sequence[Tuple[int, int]],
+    sigma_spatial: float,
+    sigma_color: float,
+    pack_phase: Optional[int] = None,  # quincunx phase, or None = all pixels
+) -> NCCRefSide:
+    """Precompute the reference side of the bilateral ZNCC window.
+
+    ``ref_slice`` must contain ``halo`` extra rows above and below the
+    ``out_rows`` output rows (edge-replicated at image borders — CUDA clamp
+    addressing); horizontal taps clamp inside. With ``pack_phase`` set, all
+    outputs are quincunx-packed to (out_rows, W//2).
+    """
+    crop = lambda a: jax.lax.slice_in_dim(a, halo, halo + out_rows, axis=0)
+    if pack_phase is None:
+        prep = crop
+    else:
+        prep = lambda a: pack_quincunx(crop(a), pack_phase)
+
+    center = prep(ref_slice)
+    inv_2sc2 = 1.0 / (2.0 * sigma_color * sigma_color)
+    sw = spatial_weights(offsets, sigma_spatial)
+
+    ws, wrs = [], []
+    sum_w = jnp.zeros_like(center)
+    sum_ref = jnp.zeros_like(center)
+    sum_ref2 = jnp.zeros_like(center)
+    for k, (dx, dy) in enumerate(offsets):
+        tap = prep(shift_2d(ref_slice, dx, dy))  # clamp addressing
+        w = sw[k] * jnp.exp(-jnp.abs(tap - center) * inv_2sc2)
+        wr = w * tap
+        ws.append(w)
+        wrs.append(wr)
+        sum_w = sum_w + w
+        sum_ref = sum_ref + wr
+        sum_ref2 = sum_ref2 + wr * tap
+
+    inv_w = 1.0 / sum_w
+    m_ref = sum_ref * inv_w
+    var_ref = sum_ref2 * inv_w - m_ref * m_ref
+    return NCCRefSide(w=jnp.stack(ws), wr=jnp.stack(wrs), inv_w=inv_w,
+                      m_ref=m_ref, var_ref=var_ref)
+
+
+def ncc_eval(
+    refside: NCCRefSide,
+    src_imgs: Array,         # (S, Hp, Wp) stacked source images (padded)
+    src_widths: Array,       # (S,) valid widths (float)
+    src_heights: Array,      # (S,)
+    A: Array,                # (S, 3, 3) homography terms
+    b: Array,                # (S, 3)
+    K_ref: Array,            # (3, 3)
+    plane: Array,            # (…, 4) per-pixel hypothesis (n, w)
+    x: Array, y: Array,      # (…,) global pixel coordinates
+    offsets: Sequence[Tuple[int, int]],
+    cost_max: float = 2.0,
+) -> Array:
+    """Bilateral ZNCC cost of `plane` against every source view at the pixel
+    set (x, y): returns (S, …) costs in [0, cost_max]. Out-of-bounds center
+    projections and degenerate-variance windows cost `cost_max`
+    (PatchMatch.cu:350-353, 406-408)."""
+    S = src_imgs.shape[0]
+    view_bshape = (S,) + (1,) * x.ndim
+
+    # Per-view homography of the window: h(dx,dy) = h_p + dx col_x + dy col_y.
+    pt, col_x, col_y, h_p = geo.homography_apply(
+        A.reshape(view_bshape + (3, 3)), b.reshape(view_bshape + (3,)),
+        K_ref, plane[None], x, y
+    )  # all (S, …, k)
+
+    oob = (
+        (pt[..., 0] < 0.0)
+        | (pt[..., 0] >= src_widths.reshape(view_bshape))
+        | (pt[..., 1] < 0.0)
+        | (pt[..., 1] >= src_heights.reshape(view_bshape))
+        | ~jnp.isfinite(pt[..., 0])
+        | ~jnp.isfinite(pt[..., 1])
+    )
+
+    view_idx = jax.lax.broadcasted_iota(jnp.int32, (S,) + x.shape, 0)
+    sum_src = jnp.zeros((S,) + x.shape, refside.m_ref.dtype)
+    sum_src2 = jnp.zeros_like(sum_src)
+    sum_rs = jnp.zeros_like(sum_src)
+    for k, (dx, dy) in enumerate(offsets):
+        h = h_p + dx * col_x + dy * col_y
+        inv_z = 1.0 / h[..., 2]
+        src_tap = bilinear_sample_batched(
+            src_imgs, view_idx, h[..., 0] * inv_z, h[..., 1] * inv_z,
+            src_widths, src_heights,
+        )
+        ws = refside.w[k][None] * src_tap
+        sum_src = sum_src + ws
+        sum_src2 = sum_src2 + ws * src_tap
+        sum_rs = sum_rs + refside.wr[k][None] * src_tap
+
+    inv_w = refside.inv_w[None]
+    m_src = sum_src * inv_w
+    var_src = sum_src2 * inv_w - m_src * m_src
+    covar = sum_rs * inv_w - refside.m_ref[None] * m_src
+
+    degenerate = (refside.var_ref[None] < K_MIN_VAR) | (var_src < K_MIN_VAR)
+    denom = jnp.sqrt(jnp.maximum(refside.var_ref[None] * var_src, 1e-30))
+    ncc = jnp.clip(1.0 - covar / denom, 0.0, cost_max)
+    return jnp.where(oob | degenerate, cost_max, ncc)
 
 
 def ncc_cost(
@@ -55,95 +191,13 @@ def ncc_cost(
     sigma_color: float,
     cost_max: float = 2.0,
 ) -> Array:
-    """Bilateral ZNCC cost of `plane` against every source view.
+    """Whole-image convenience form: (S, H, W) costs for a full plane field.
 
-    Returns (S, H, W) costs in [0, cost_max]. Out-of-bounds center
-    projections and degenerate-variance windows cost `cost_max`
-    (PatchMatch.cu:350-353, 406-408).
+    Thin wrapper over :func:`ncc_refside` + :func:`ncc_eval`; the solver's
+    hot path calls those directly on packed row bands.
     """
     H, W = ref_img.shape
-    S = src_imgs.shape[0]
     x, y = geo.pixel_grid(H, W)
-
-    # Per-view homography of the window: h(dx,dy) = h_p + dx col_x + dy col_y.
-    pt, col_x, col_y, h_p = geo.homography_apply(
-        A[:, None, None], b[:, None, None], K_ref, plane[None], x, y
-    )  # all (S, H, W, ...)
-
-    oob = (
-        (pt[..., 0] < 0.0)
-        | (pt[..., 0] >= src_widths[:, None, None])
-        | (pt[..., 1] < 0.0)
-        | (pt[..., 1] >= src_heights[:, None, None])
-        | ~jnp.isfinite(pt[..., 0])
-        | ~jnp.isfinite(pt[..., 1])
-    )
-
-    ref_center = ref_img
-    inv_2sc2 = 1.0 / (2.0 * sigma_color * sigma_color)
-    sw = spatial_weights(offsets, sigma_spatial)
-
-    view_idx = jax.lax.broadcasted_iota(jnp.int32, (S, H, W), 0)
-
-    sum_w = jnp.zeros((H, W), ref_img.dtype)
-    sum_ref = jnp.zeros((H, W), ref_img.dtype)
-    sum_ref2 = jnp.zeros((H, W), ref_img.dtype)
-    sum_src = jnp.zeros((S, H, W), ref_img.dtype)
-    sum_src2 = jnp.zeros((S, H, W), ref_img.dtype)
-    sum_rs = jnp.zeros((S, H, W), ref_img.dtype)
-
-    for k, (dx, dy) in enumerate(offsets):
-        ref_tap = shift_2d(ref_img, dx, dy)  # clamp addressing
-        w = sw[k] * jnp.exp(-jnp.abs(ref_tap - ref_center) * inv_2sc2)
-        sum_w = sum_w + w
-        wr = w * ref_tap
-        sum_ref = sum_ref + wr
-        sum_ref2 = sum_ref2 + wr * ref_tap
-        h = h_p + dx * col_x + dy * col_y
-        inv_z = 1.0 / h[..., 2]
-        src_tap = bilinear_sample_batched(
-            src_imgs, view_idx, h[..., 0] * inv_z, h[..., 1] * inv_z,
-            src_widths, src_heights,
-        )
-        ws = w[None] * src_tap
-        sum_src = sum_src + ws
-        sum_src2 = sum_src2 + ws * src_tap
-        sum_rs = sum_rs + wr[None] * src_tap
-
-    inv_w = 1.0 / sum_w
-    m_ref = sum_ref * inv_w
-    m_ref2 = sum_ref2 * inv_w
-    m_src = sum_src * inv_w[None]
-    m_src2 = sum_src2 * inv_w[None]
-    m_rs = sum_rs * inv_w[None]
-
-    var_ref = m_ref2 - m_ref * m_ref
-    var_src = m_src2 - m_src * m_src
-    covar = m_rs - m_ref[None] * m_src
-
-    k_min_var = 1e-5
-    degenerate = (var_ref[None] < k_min_var) | (var_src < k_min_var)
-    denom = jnp.sqrt(jnp.maximum(var_ref[None] * var_src, 1e-30))
-    ncc = jnp.clip(1.0 - covar / denom, 0.0, cost_max)
-    return jnp.where(oob | degenerate, cost_max, ncc)
-
-
-def ncc_cost_multi(
-    ref_img, src_imgs, src_widths, src_heights, A, b, K_ref,
-    planes: Array,  # (C, H, W, 4) candidate plane fields
-    offsets, sigma_spatial, sigma_color, cost_max: float = 2.0,
-    sequential: bool = True,
-) -> Array:
-    """Costs for C candidate plane fields: (C, S, H, W).
-
-    ``sequential=True`` evaluates candidates with lax.map so peak memory
-    stays at one candidate's working set — the (C x S x H x W) tap
-    intermediates never materialize (cf. cost_array[8][32] living in CUDA
-    registers, PatchMatch.cu:795).
-    """
-    fn = lambda p: ncc_cost(ref_img, src_imgs, src_widths, src_heights,
-                            A, b, K_ref, p, offsets, sigma_spatial,
-                            sigma_color, cost_max)
-    if sequential:
-        return jax.lax.map(fn, planes)
-    return jax.vmap(fn)(planes)
+    refside = ncc_refside(ref_img, 0, H, offsets, sigma_spatial, sigma_color)
+    return ncc_eval(refside, src_imgs, src_widths, src_heights, A, b, K_ref,
+                    plane, x, y, offsets, cost_max)

@@ -2,11 +2,24 @@
 
 TPU-native re-design of CheckerboardPropagation / PlaneHypothesisRefinement
 (reference: src/PatchMatch.cu:642-998). The CUDA version runs one thread per
-half-grid pixel with data-dependent register loops; here the whole image is
-updated as dense array ops and the red/black phase is a write mask — the
-two-phase schedule (black reads red's fresh values and vice versa) is
-preserved exactly, it is what makes in-place propagation race-free
-(PatchMatch.cu:1000-1019).
+half-grid pixel with data-dependent register loops; here the active
+checkerboard color's pixels are *packed* into a dense (rows, W//2) array
+(ops/packing.py) — the TPU equivalent of the reference's half-height grid
+with its thread->pixel row remap (PatchMatch.cu:1000-1019) — and updated as
+dense array ops. The two-phase schedule (black reads red's fresh values and
+vice versa) is preserved exactly; it is what makes in-place propagation
+race-free.
+
+Memory: one half-iteration's candidate cost tensors are
+(8 regions x S views x pixels); at the reference operating point
+(3200x2130, 20 sources — config/config.yaml:5,17) that is several GB if
+evaluated whole-image. The step therefore processes the image in row
+*bands*: each band slices the state with a halo (propagation reach 23 px +
+NCC window radius), computes its active pixels' update independently —
+valid because within a half-iteration every active pixel reads only the
+*previous* state — and the bands are mapped sequentially (lax.map), so peak
+HBM is one band's working set. ``PatchMatchParams.band_rows`` controls the
+band height (0 = automatic from the shape).
 
 The 8 sample regions (4 diagonal "V" wings x12 candidates, 4 axial strips
 x10 candidates reaching +-23 px — PatchMatch.cu:769-779) each contribute the
@@ -36,8 +49,9 @@ import jax.numpy as jnp
 
 from mpmvs_tpu import geometry as geo
 from mpmvs_tpu.ops import random as pmrand
-from mpmvs_tpu.ops.ncc import ncc_cost, ncc_cost_multi
+from mpmvs_tpu.ops.ncc import ncc_eval, ncc_refside
 from mpmvs_tpu.ops.geom_cost import geom_consistency_cost
+from mpmvs_tpu.ops.packing import pack_quincunx, packed_coords, unpack_quincunx
 from mpmvs_tpu.ops.sampling import shift_2d
 from mpmvs_tpu.ops.view_selection import monte_carlo_view_weights
 
@@ -69,7 +83,7 @@ DIRS: Tuple[Tuple[Tuple[int, int], ...], ...] = (
 # (PatchMatch.cu:788-793, 824-830). Order: up, down, left, right.
 NEIGHBOR_OFFSETS = ((0, -1), (0, 1), (-1, 0), (1, 0))
 
-PROPAGATION_REACH = 23  # max |offset| component — the halo a tile needs
+PROPAGATION_REACH = 23  # max |offset| component — the halo a band/tile needs
 
 
 class SolveData(NamedTuple):
@@ -104,11 +118,14 @@ class PatchMatchState(NamedTuple):
 
 
 def select_candidates(cost: Array, plane: Array):
-    """Per-region min-cost neighbor hypothesis.
+    """Per-region min-cost neighbor hypothesis (whole-image form).
 
     Returns (cand_planes (8, H, W, 4), cand_valid (8, H, W)).
     Strict-< running min keeps the first minimum like the reference's
     ``bestConf > nconf`` scan (PatchMatch.cu:809-812).
+
+    This dense form is kept as the unit-test oracle surface; the solver's
+    banded/packed path uses :func:`_select_candidates_packed`.
     """
     H, W = cost.shape
     plane_flat = plane.reshape(H * W, 4)
@@ -133,14 +150,49 @@ def select_candidates(cost: Array, plane: Array):
     return jnp.stack(cands), jnp.stack(valids)
 
 
+def _select_candidates_packed(cost_s: Array, plane_s: Array, halo: int,
+                              rows: int, phase: int, x_int: Array):
+    """Banded + packed candidate harvest.
+
+    cost_s/plane_s: (Hs, W[, 4]) band slice with ``halo`` rows above/below
+    (out-of-image rows pre-filled with +inf cost by the caller). Returns
+    (cand_planes (8, rows, W//2, 4), cand_valid (8, rows, W//2)) for the
+    active color's pixels of the band's central ``rows`` rows. ``x_int``:
+    (rows, W//2) int32 global x of each packed pixel.
+    """
+    Hs, W = cost_s.shape
+    plane_flat = plane_s.reshape(Hs * W, 4)
+    crop = lambda a: jax.lax.slice_in_dim(a, halo, halo + rows, axis=0)
+    prep = lambda a: pack_quincunx(crop(a), phase)
+    r_local = jax.lax.broadcasted_iota(jnp.int32, x_int.shape, 0) + halo
+    cands, valids = [], []
+    for region in DIRS:
+        best_c = jnp.full((Hs, W), jnp.inf, cost_s.dtype)
+        best_k = jnp.zeros((Hs, W), jnp.int32)
+        for k, (dx, dy) in enumerate(region):
+            c = shift_2d(cost_s, dx, dy, fill=jnp.inf)
+            take = c < best_c
+            best_c = jnp.where(take, c, best_c)
+            best_k = jnp.where(take, k, best_k)
+        valid = jnp.isfinite(prep(best_c))
+        best_k_p = pack_quincunx(crop(best_k), phase)
+        dxs = jnp.asarray([d[0] for d in region], jnp.int32)
+        dys = jnp.asarray([d[1] for d in region], jnp.int32)
+        iy = jnp.clip(r_local + jnp.take(dys, best_k_p), 0, Hs - 1)
+        ix = jnp.clip(x_int + jnp.take(dxs, best_k_p), 0, W - 1)
+        cands.append(jnp.take(plane_flat, iy * W + ix, axis=0))
+        valids.append(valid)
+    return jnp.stack(cands), jnp.stack(valids)
+
+
 def _weighted_total(costs_v: Array, weights: Array, norm: Array,
                     geom_v: Optional[Array], geom_weight: float):
     """sum_s w_s (c_s [+ 0.2 g_s]) / norm, with zero-norm guarded to +inf.
 
-    costs_v/geom_v: (S, H, W); weights: (H, W, S); norm: (H, W).
-    Returns (total (H, W), geom_total (H, W) or None).
+    costs_v/geom_v: (S, …); weights: (…, S); norm: (…,).
+    Returns (total (…,), geom_total (…,) or None).
     """
-    w = jnp.moveaxis(weights, -1, 0)  # (S, H, W)
+    w = jnp.moveaxis(weights, -1, 0)  # (S, …)
     safe_norm = jnp.maximum(norm, 1e-30)
     if geom_v is None:
         total = jnp.sum(w * costs_v, axis=0) / safe_norm
@@ -174,45 +226,107 @@ def _prior_score(cost: Array, depth: Array, plane_n: Array,
     return jnp.where(jnp.isfinite(cost), score, 0.0)
 
 
-def checkerboard_step(
-    state: PatchMatchState,
+def step_halo(scale: int) -> int:
+    """Rows of context a band needs above/below its output rows: candidate
+    reach (23, PatchMatch.cu:769-779) or the NCC window radius 5*2^scale
+    (PatchMatch.cu:341-346), whichever is larger; rounded up to even."""
+    h = max(PROPAGATION_REACH + 1, 5 * (2 ** scale))
+    return h + (h % 2)
+
+
+def auto_band_rows(H: int, W: int, S: int, geom: bool,
+                   budget_mb: int = 256) -> int:
+    """Even band height keeping one band's working set under ``budget_mb``.
+
+    Cost model per packed row (W//2 pixels, float32):
+      * candidate-cost tensor (8, S, rows, W//2): 8 S (x2 with geom_array);
+      * one NCC evaluation's live intermediates — homography center/column
+        fields (S, rows, W//2, 3) x3, projected points, tap gather temps and
+        accumulators: ~40 S (XLA keeps a few evaluations' worth live across
+        the lax.map despite serialization, observed on v5e);
+    i.e. ~48 S (56 S with geom) floats per packed row. Bands are sized to
+    split H evenly (minimal last-band padding), result in [32, H_even]."""
+    h_even = H + (H % 2)
+    floats_per_row = S * (W // 2 or 1) * (56 if geom else 48)
+    rows_max = int(budget_mb * 1024 * 1024 // max(4 * floats_per_row, 1))
+    rows_max = max(32, min(h_even, rows_max))
+    n_bands = -(-h_even // rows_max)
+    rows = -(-h_even // n_bands)
+    return min(h_even, rows + (rows % 2))
+
+
+def _band_step(
     data: SolveData,
     params,
     scale: int,
     iteration: Array,
-    phase: Array,
+    phase: int,
     key: Array,
     geom: bool,
     prior: bool,
-) -> PatchMatchState:
-    """One half-iteration (one checkerboard color) of the solver."""
-    H, W = state.cost.shape
+    halo: int,
+    rows: int,
+    y0: Array,                 # global (even) first row of the band
+    cost_s: Array,             # (Hs, W) state slices incl. halo
+    plane_s: Array,            # (Hs, W, 4)
+    sel_s: Array,              # (Hs, W)
+    ref_s: Array,              # (Hs, W) reference-image slice (edge-padded)
+    geom_c: Array,             # (rows, W) current geom-cost, central rows only
+    prior_planes_c: Optional[Array],  # (rows, W, 4)
+    prior_mask_c: Optional[Array],    # (rows, W)
+):
+    """One band's active-color update. Returns packed (plane (rows, W//2, 4),
+    cost, geom_cost, sel)."""
+    Hs, W = cost_s.shape
+    Wh = W // 2
     S = data.src_imgs.shape[0]
-    x, y = geo.pixel_grid(H, W)
     offsets = params.tap_offsets(scale)
     k_mc, k_ref1, k_ref2, k_ref3, k_ref4, k_prior = jax.random.split(key, 6)
 
-    def ncc(planes, multi=False):
-        fn = ncc_cost_multi if multi else ncc_cost
-        return fn(data.ref_img, data.src_imgs, data.src_widths,
-                  data.src_heights, data.A, data.b, data.K_ref, planes,
-                  offsets, params.sigma_spatial, params.sigma_color,
-                  params.cost_max)
+    x_p, y_p = packed_coords(y0.astype(jnp.float32), rows, Wh, phase)
+    x_int = x_p.astype(jnp.int32)
+
+    crop = lambda a: jax.lax.slice_in_dim(a, halo, halo + rows,
+                                          axis=a.ndim - 2)
+    prep = lambda a: pack_quincunx(crop(a), phase)
+    pack_c = lambda a: pack_quincunx(a, phase)  # for halo-free central slices
+    pack_vec = lambda a: jnp.moveaxis(
+        pack_quincunx(jnp.moveaxis(a, -1, 0), phase), 0, -1)
+
+    # current state at the band's active pixels
+    cost_c = prep(cost_s)
+    sel_c = prep(sel_s)
+    plane_c = jnp.moveaxis(prep(jnp.moveaxis(plane_s, -1, 0)), 0, -1)
+    geom_cost_c = pack_c(geom_c)
+    if prior:
+        prior_planes_p = pack_vec(prior_planes_c)
+        prior_mask_p = pack_c(prior_mask_c)
+
+    # reference-side NCC precompute: shared by all ~14 hypothesis evals
+    refside = ncc_refside(ref_s, halo, rows, offsets,
+                          params.sigma_spatial, params.sigma_color,
+                          pack_phase=phase)
+
+    def ncc(plane):
+        return ncc_eval(refside, data.src_imgs, data.src_widths,
+                        data.src_heights, data.A, data.b, data.K_ref,
+                        plane, x_p, y_p, offsets, params.cost_max)
 
     def gcost(plane):
         return geom_consistency_cost(
             data.src_depths, data.src_widths, data.src_heights,
             data.K_ref, data.R_ref, data.C_ref, data.t_ref,
             data.K_src, data.R_src, data.t_src, data.C_src,
-            plane, x, y, params.geom_cost_max)
+            plane, x_p, y_p, params.geom_cost_max)
 
     # ---- 1. candidate harvesting + their multi-view photometric costs
-    cand_planes, cand_valid = select_candidates(state.cost, state.plane)
-    cost_array = ncc(cand_planes, multi=True)  # (8, S, H, W)
+    cand_planes, cand_valid = _select_candidates_packed(
+        cost_s, plane_s, halo, rows, phase, x_int)
+    cost_array = jax.lax.map(ncc, cand_planes)  # (8, S, rows, Wh)
 
     # ---- 2. Monte-Carlo view re-selection
     neighbor_sel = jnp.stack(
-        [shift_2d(state.sel, dx, dy, fill=0) for (dx, dy) in NEIGHBOR_OFFSETS]
+        [prep(shift_2d(sel_s, dx, dy, fill=0)) for (dx, dy) in NEIGHBOR_OFFSETS]
     )
     weights, weight_norm, temp_selected = monte_carlo_view_weights(
         k_mc, cost_array, cand_valid, neighbor_sel, cand_valid[:4],
@@ -220,87 +334,98 @@ def checkerboard_step(
 
     # ---- 3. view-weighted final candidate costs (+ geometric consistency)
     if geom:
-        geom_array = jax.lax.map(gcost, cand_planes)  # (8, S, H, W)
+        geom_array = jax.lax.map(gcost, cand_planes)  # (8, S, rows, Wh)
     final_costs = []
     for i in range(8):
         g_i = geom_array[i] if geom else None
         total, _ = _weighted_total(cost_array[i], weights, weight_norm,
                                    g_i, params.geom_weight)
         final_costs.append(jnp.where(cand_valid[i], total, jnp.inf))
-    final_costs = jnp.stack(final_costs)  # (8, H, W)
-    min_idx = jnp.argmin(final_costs, axis=0)  # (H, W)
+    final_costs = jnp.stack(final_costs)  # (8, rows, Wh)
+    min_idx = jnp.argmin(final_costs, axis=0)  # (rows, Wh)
 
     # ---- 4. current hypothesis cost under the new view weights
-    cost_vec_now = ncc(state.plane)
-    geom_vec_now = gcost(state.plane) if geom else None
+    cost_vec_now = ncc(plane_c)
+    geom_vec_now = gcost(plane_c) if geom else None
     cost_now, geom_now = _weighted_total(cost_vec_now, weights, weight_norm,
                                          geom_vec_now, params.geom_weight)
-    cost_now = jnp.where(weight_norm > 0, cost_now, state.cost)
+    cost_now = jnp.where(weight_norm > 0, cost_now, cost_c)
     if geom:
-        geom_now = jnp.where(weight_norm > 0, geom_now, state.geom_cost)
+        geom_now = jnp.where(weight_norm > 0, geom_now, geom_cost_c)
     else:
-        geom_now = state.geom_cost
+        geom_now = geom_cost_c
 
     take_flat = lambda arr, idx: jnp.take_along_axis(
         arr.reshape(8, -1), idx.reshape(1, -1), axis=0).reshape(idx.shape)
     best_cost = take_flat(final_costs, min_idx)
     best_valid = take_flat(cand_valid, min_idx) & jnp.isfinite(best_cost)
     best_plane = jnp.take_along_axis(
-        cand_planes.reshape(8, H * W, 4),
-        min_idx.reshape(1, H * W, 1), axis=0
-    ).reshape(H, W, 4)
-    best_depth = geo.depth_from_plane(data.K_ref, best_plane, x, y)
+        cand_planes.reshape(8, rows * Wh, 4),
+        min_idx.reshape(1, rows * Wh, 1), axis=0
+    ).reshape(rows, Wh, 4)
+    best_depth = geo.depth_from_plane(data.K_ref, best_plane, x_p, y_p)
     depth_ok = (best_depth >= data.depth_min) & (best_depth <= data.depth_max)
 
-    sel_now = state.sel
-    restricted_now = jnp.zeros((H, W), state.cost.dtype)
+    sel_now = sel_c
+    restricted_now = jnp.zeros((rows, Wh), cost_c.dtype)
 
     if prior:
         # prior-regularized adoption (PatchMatch.cu:924-978)
         angle_sigma = math.pi * params.prior_angle_sigma_deg / 180.0
         depth_sigma = (data.depth_max - data.depth_min) * params.prior_depth_sigma_frac
-        prior_depth = geo.depth_from_plane(data.K_ref, data.prior_planes, x, y)
+        prior_depth = geo.depth_from_plane(data.K_ref, prior_planes_p, x_p, y_p)
         cand_depths = jax.vmap(
-            lambda p: geo.depth_from_plane(data.K_ref, p, x, y))(cand_planes)
+            lambda p: geo.depth_from_plane(data.K_ref, p, x_p, y_p))(cand_planes)
         restricted = _prior_score(
             final_costs, cand_depths, cand_planes[..., :3],
-            data.prior_planes[None], prior_depth[None],
+            prior_planes_p[None], prior_depth[None],
             depth_sigma, angle_sigma, params.prior_gamma, params.prior_beta)
         restricted = jnp.where(cand_valid, restricted, -jnp.inf)
         max_idx = jnp.argmax(restricted, axis=0)
         r_best = take_flat(restricted, max_idx)
         r_valid = take_flat(cand_valid, max_idx)
         r_plane = jnp.take_along_axis(
-            cand_planes.reshape(8, H * W, 4),
-            max_idx.reshape(1, H * W, 1), axis=0).reshape(H, W, 4)
+            cand_planes.reshape(8, rows * Wh, 4),
+            max_idx.reshape(1, rows * Wh, 1), axis=0).reshape(rows, Wh, 4)
         r_cost = take_flat(final_costs, max_idx)
         r_depth = take_flat(cand_depths, max_idx)
-        depth_now_cur = geo.depth_from_plane(data.K_ref, state.plane, x, y)
-        r_now = _prior_score(cost_now, depth_now_cur, state.plane[..., :3],
-                             data.prior_planes, prior_depth,
+        depth_now_cur = geo.depth_from_plane(data.K_ref, plane_c, x_p, y_p)
+        r_now = _prior_score(cost_now, depth_now_cur, plane_c[..., :3],
+                             prior_planes_p, prior_depth,
                              depth_sigma, angle_sigma, params.prior_gamma,
                              params.prior_beta)
         r_depth_ok = (r_depth >= data.depth_min) & (r_depth <= data.depth_max)
-        adopt_m = data.prior_mask & r_valid & r_depth_ok & (r_best > r_now)
+        adopt_m = prior_mask_p & r_valid & r_depth_ok & (r_best > r_now)
         # unmasked pixels use the plain min-cost rule (PatchMatch.cu:969-977);
         # note the reference does not update selected_views on this sub-path.
-        adopt_u = (~data.prior_mask) & best_valid & depth_ok & (best_cost < cost_now)
+        adopt_u = (~prior_mask_p) & best_valid & depth_ok & (best_cost < cost_now)
         plane_now = jnp.where(adopt_m[..., None], r_plane,
-                              jnp.where(adopt_u[..., None], best_plane, state.plane))
+                              jnp.where(adopt_u[..., None], best_plane, plane_c))
         cost_now = jnp.where(adopt_m, r_cost,
                              jnp.where(adopt_u, best_cost, cost_now))
-        sel_now = jnp.where(adopt_m, temp_selected, state.sel)
+        sel_now = jnp.where(adopt_m, temp_selected, sel_c)
         # On no adoption the refinement baseline stays 0 — the reference
         # never seeds it with the current plane's score (PatchMatch.cu:922,
         # :964), so refinement then replaces the plane with the best of its
         # 5 trials. Faithfully reproduced: it materially drives prior-mode
         # exploration.
         restricted_now = jnp.where(adopt_m, r_best, 0.0)
+        if geom:
+            # combined geom+prior extension: track the adopted candidate's
+            # geometric share like the plain geom path does
+            geom_totals = jnp.stack([
+                _weighted_total(cost_array[i], weights, weight_norm,
+                                geom_array[i], params.geom_weight)[1]
+                for i in range(8)])
+            geom_now = jnp.where(adopt_m, take_flat(geom_totals, max_idx),
+                                 jnp.where(adopt_u,
+                                           take_flat(geom_totals, min_idx),
+                                           geom_now))
     else:
         adopt = best_valid & depth_ok & (best_cost < cost_now)
-        plane_now = jnp.where(adopt[..., None], best_plane, state.plane)
+        plane_now = jnp.where(adopt[..., None], best_plane, plane_c)
         cost_now = jnp.where(adopt, best_cost, cost_now)
-        sel_now = jnp.where(adopt, temp_selected, state.sel)
+        sel_now = jnp.where(adopt, temp_selected, sel_c)
         if geom:
             # adopted candidate's geometric share (tracked for GeomCost map)
             geom_totals = jnp.stack([
@@ -310,54 +435,55 @@ def checkerboard_step(
             geom_now = jnp.where(adopt, take_flat(geom_totals, min_idx), geom_now)
 
     # ---- 5. refinement: 5 perturbed hypotheses (PlaneHypothesisRefinement)
-    depth_now = geo.depth_from_plane(data.K_ref, plane_now, x, y)
+    depth_now = geo.depth_from_plane(data.K_ref, plane_now, x_p, y_p)
     angle_sigma = math.pi * params.prior_angle_sigma_deg / 180.0
     depth_sigma = (data.depth_max - data.depth_min) * params.prior_depth_sigma_frac
 
+    shape_p = x_p.shape
     if prior and not params.legacy_prior_refinement:
         # intended semantics: prior-guided random draw inside the mask
-        prior_depth_f = geo.depth_from_plane(data.K_ref, data.prior_planes, x, y)
-        d_rand_u = jax.random.uniform(k_ref1, (H, W), jnp.float32,
+        prior_depth_f = geo.depth_from_plane(data.K_ref, prior_planes_p, x_p, y_p)
+        d_rand_u = jax.random.uniform(k_ref1, shape_p, jnp.float32,
                                       minval=data.depth_min, maxval=data.depth_max)
-        d_rand_p = (jax.random.uniform(k_prior, (H, W), jnp.float32) * 6.0
+        d_rand_p = (jax.random.uniform(k_prior, shape_p, jnp.float32) * 6.0
                     * depth_sigma + prior_depth_f - 3.0 * depth_sigma)
-        depth_rand = jnp.where(data.prior_mask, d_rand_p, d_rand_u)
-        n_rand_u = pmrand.random_normal_field(k_ref2, data.K_ref, x, y)
+        depth_rand = jnp.where(prior_mask_p, d_rand_p, d_rand_u)
+        n_rand_u = pmrand.random_normal_field(k_ref2, data.K_ref, x_p, y_p)
         n_rand_p = pmrand.perturbed_normal_field(
-            k_prior, data.K_ref, x, y, data.prior_planes[..., :3], angle_sigma)
-        normal_rand = jnp.where(data.prior_mask[..., None], n_rand_p, n_rand_u)
+            k_prior, data.K_ref, x_p, y_p, prior_planes_p[..., :3], angle_sigma)
+        normal_rand = jnp.where(prior_mask_p[..., None], n_rand_p, n_rand_u)
     else:
         # reference behavior: the second block always runs (PatchMatch.cu:660)
-        depth_rand = jax.random.uniform(k_ref1, (H, W), jnp.float32,
+        depth_rand = jax.random.uniform(k_ref1, shape_p, jnp.float32,
                                         minval=data.depth_min, maxval=data.depth_max)
-        normal_rand = pmrand.random_normal_field(k_ref2, data.K_ref, x, y)
+        normal_rand = pmrand.random_normal_field(k_ref2, data.K_ref, x_p, y_p)
 
     p = params.refine_perturbation
-    depth_pert = depth_now * (1.0 + (jax.random.uniform(k_ref3, (H, W)) * 2.0 - 1.0) * p)
+    depth_pert = depth_now * (1.0 + (jax.random.uniform(k_ref3, shape_p) * 2.0 - 1.0) * p)
     normal_pert = pmrand.perturbed_normal_field(
-        k_ref4, data.K_ref, x, y, plane_now[..., :3], p * math.pi)
+        k_ref4, data.K_ref, x_p, y_p, plane_now[..., :3], p * math.pi)
     normal_now = plane_now[..., :3]
 
     trial_d = [depth_rand, depth_now, depth_rand, depth_now, depth_pert]
     trial_n = [normal_now, normal_rand, normal_rand, normal_pert, normal_now]
 
     if prior:
-        prior_depth_f = geo.depth_from_plane(data.K_ref, data.prior_planes, x, y)
+        prior_depth_f = geo.depth_from_plane(data.K_ref, prior_planes_p, x_p, y_p)
 
     for d_i, n_i in zip(trial_d, trial_n):
-        plane_i = geo.plane_from_depth_normal(data.K_ref, x, y, d_i, n_i)
+        plane_i = geo.plane_from_depth_normal(data.K_ref, x_p, y_p, d_i, n_i)
         c_v = ncc(plane_i)
         g_v = gcost(plane_i) if geom else None
         t_cost, t_geom = _weighted_total(c_v, weights, weight_norm, g_v,
                                          params.geom_weight)
-        d_before = geo.depth_from_plane(data.K_ref, plane_i, x, y)
+        d_before = geo.depth_from_plane(data.K_ref, plane_i, x_p, y_p)
         in_range = (d_before >= data.depth_min) & (d_before <= data.depth_max)
         if prior:
-            score_i = _prior_score(t_cost, d_i, n_i, data.prior_planes,
+            score_i = _prior_score(t_cost, d_i, n_i, prior_planes_p,
                                    prior_depth_f, depth_sigma, angle_sigma,
                                    params.prior_gamma, params.prior_beta)
-            adopt_m = data.prior_mask & in_range & (score_i > restricted_now)
-            adopt_u = (~data.prior_mask) & in_range & (t_cost < cost_now)
+            adopt_m = prior_mask_p & in_range & (score_i > restricted_now)
+            adopt_u = (~prior_mask_p) & in_range & (t_cost < cost_now)
             adopt_i = adopt_m | adopt_u
             restricted_now = jnp.where(adopt_m, score_i, restricted_now)
         else:
@@ -368,12 +494,85 @@ def checkerboard_step(
         if geom:
             geom_now = jnp.where(adopt_i, t_geom, geom_now)
 
-    # ---- 6. masked write: only the active checkerboard color updates
-    active = ((x.astype(jnp.int32) + y.astype(jnp.int32)) % 2) == phase
-    new_state = PatchMatchState(
-        plane=jnp.where(active[..., None], plane_now, state.plane),
-        cost=jnp.where(active, cost_now, state.cost),
-        geom_cost=jnp.where(active, geom_now, state.geom_cost) if geom else state.geom_cost,
-        sel=jnp.where(active, sel_now, state.sel),
+    return plane_now, cost_now, geom_now, sel_now
+
+
+def checkerboard_step(
+    state: PatchMatchState,
+    data: SolveData,
+    params,
+    scale: int,
+    iteration: Array,
+    phase: int,
+    key: Array,
+    geom: bool,
+    prior: bool,
+    band_rows: int = 0,
+) -> PatchMatchState:
+    """One half-iteration (one checkerboard color), banded over rows.
+
+    ``phase`` must be a static int (0 or 1); ``band_rows`` the band height
+    (0 = automatic). H and W must be even (the solver pads)."""
+    H, W = state.cost.shape
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    halo = step_halo(scale)
+    S = data.src_imgs.shape[0]
+
+    br = band_rows if band_rows > 0 else auto_band_rows(H, W, S, geom)
+    br = min(br - (br % 2), H) or H
+    n_bands = -(-H // br)
+    Hb = n_bands * br
+    pad_b = Hb - H  # band padding below the image
+
+    pad_rows = lambda a, top, bottom, **kw: jnp.pad(
+        a, [(top, bottom)] + [(0, 0)] * (a.ndim - 1), **kw)
+    # +inf cost beyond the image == invalid propagation source (matches the
+    # whole-image path's shift fill); ref rows edge-replicate (CUDA clamp).
+    cost_pad = pad_rows(state.cost, halo, halo + pad_b,
+                        mode="constant", constant_values=jnp.inf)
+    plane_pad = pad_rows(state.plane, halo, halo + pad_b, mode="constant")
+    sel_pad = pad_rows(state.sel, halo, halo + pad_b, mode="constant")
+    ref_pad = pad_rows(data.ref_img, halo, halo + pad_b, mode="edge")
+    geom_pad = pad_rows(state.geom_cost, 0, pad_b, mode="constant")
+    if prior:
+        prior_planes_pad = pad_rows(data.prior_planes, 0, pad_b, mode="constant")
+        prior_mask_pad = pad_rows(data.prior_mask, 0, pad_b, mode="constant")
+
+    Hs = br + 2 * halo
+
+    def band_fn(b):
+        y0 = b * br
+        sl = lambda a, h, extra: jax.lax.dynamic_slice(
+            a, (y0,) + (0,) * (a.ndim - 1), (h,) + a.shape[1:])
+        cost_s = sl(cost_pad, Hs, 0)
+        plane_s = sl(plane_pad, Hs, 0)
+        sel_s = sl(sel_pad, Hs, 0)
+        ref_s = sl(ref_pad, Hs, 0)
+        geom_c = sl(geom_pad, br, 0)
+        pp_c = sl(prior_planes_pad, br, 0) if prior else None
+        pm_c = sl(prior_mask_pad, br, 0) if prior else None
+        return _band_step(data, params, scale, iteration, phase,
+                          jax.random.fold_in(key, b), geom, prior, halo, br,
+                          y0, cost_s, plane_s, sel_s, ref_s, geom_c, pp_c,
+                          pm_c)
+
+    if n_bands == 1:
+        plane_p, cost_p, geom_p, sel_p = band_fn(jnp.int32(0))
+    else:
+        plane_b, cost_b, geom_b, sel_b = jax.lax.map(
+            band_fn, jnp.arange(n_bands, dtype=jnp.int32))
+        Wh = W // 2
+        plane_p = plane_b.reshape(Hb, Wh, 4)[:H]
+        cost_p = cost_b.reshape(Hb, Wh)[:H]
+        geom_p = geom_b.reshape(Hb, Wh)[:H]
+        sel_p = sel_b.reshape(Hb, Wh)[:H]
+
+    unpack_vec = lambda P, like: jnp.moveaxis(
+        unpack_quincunx(jnp.moveaxis(P, -1, 0), phase,
+                        jnp.moveaxis(like, -1, 0)), 0, -1)
+    return PatchMatchState(
+        plane=unpack_vec(plane_p, state.plane),
+        cost=unpack_quincunx(cost_p, phase, state.cost),
+        geom_cost=unpack_quincunx(geom_p, phase, state.geom_cost) if geom else state.geom_cost,
+        sel=unpack_quincunx(sel_p, phase, state.sel),
     )
-    return new_state

@@ -123,6 +123,75 @@ class ShardedPipeline(Pipeline):
             devs = devices
         self.mesh = make_view_mesh(devs)
 
+    def _store_batch(self, batch: SceneBatch, res: SolveResult, tag: str):
+        """Crop each view's result out of the padded batch, update records,
+        write the .dmb checkpoints and mark the pass completed."""
+        for i, vid in enumerate(batch.ref_ids):
+            h, w = batch.orig_sizes[i]
+            self.views[vid].result = SolveResult(
+                depth=res.depth[i, :h, :w], normal=res.normal[i, :h, :w],
+                cost=res.cost[i, :h, :w], geom_cost=res.geom_cost[i, :h, :w])
+            self.save_view(vid)
+        self._mark_pass_done(tag)
+
+    def _batch_from_records(self, batch: SceneBatch) -> SolveResult:
+        """Re-assemble a padded batched SolveResult from per-view records
+        (used when resuming from .dmb checkpoints)."""
+        N, _, H, W = batch.images.shape
+        stack = lambda leaf, shape: jnp.asarray(_pad_stack(
+            [np.asarray(getattr(self.views[v].result, leaf))
+             for v in batch.ref_ids], shape))
+        return SolveResult(depth=stack("depth", (H, W)),
+                           normal=stack("normal", (H, W, 3)),
+                           cost=stack("cost", (H, W)),
+                           geom_cost=stack("geom_cost", (H, W)))
+
+    def _prior_subrun(self, batch: SceneBatch, res: SolveResult, keys,
+                      geom: bool, src_d, log):
+        """Sharded planar-prior sub-run: Delaunay/plane-fit per view on the
+        host (tiny, CPU — SURVEY §7.6), then one batched prior-regularized
+        solve. Views whose prior construction fails keep their result, like
+        the single-device path (pipeline.process_view)."""
+        from mpmvs_tpu.prior import build_planar_prior, draw_triangulation
+        import cv2
+        import os
+
+        N, _, H, W = batch.images.shape
+        planes = np.zeros((N, H, W, 4), np.float32)
+        masks = np.zeros((N, H, W), bool)
+        has = np.zeros((N,), bool)
+        depth_h = np.asarray(res.depth)
+        cost_h = np.asarray(res.cost)
+        geomc_h = np.asarray(res.geom_cost) if geom else None
+        for i, vid in enumerate(batch.ref_ids):
+            h, w = batch.orig_sizes[i]
+            cam = self.views[vid].camera
+            pr = build_planar_prior(
+                depth_h[i, :h, :w], cost_h[i, :h, :w], np.asarray(cam.K),
+                float(cam.depth_min) * 0.6, float(cam.depth_max) * 1.2,
+                geom_cost=geomc_h[i, :h, :w] if geom else None)
+            if pr is None:
+                continue
+            planes[i, :h, :w] = pr.planes
+            masks[i, :h, :w] = pr.mask
+            has[i] = True
+            cv2.imwrite(os.path.join(self.result_dir(vid),
+                                     "triangulation.png"),
+                        draw_triangulation(self.views[vid].image, pr))
+        if not has.any():
+            return res
+        geom_prior = geom and self.config.geom_prior_consistency
+        res2 = solve_scenes_sharded(
+            batch.images, batch.cameras, keys, self.params,
+            "geom_prior" if geom_prior else "prior", self.mesh,
+            warm=res, src_depths=src_d if geom_prior else None,
+            prior_planes=jnp.asarray(planes), prior_mask=jnp.asarray(masks))
+        keep = jnp.asarray(has)
+        pick = lambda a2, a1: jnp.where(
+            keep.reshape((N,) + (1,) * (a2.ndim - 1)), a2, a1)
+        log(f"prior sub-run: {int(has.sum())}/{N} views triangulated")
+        return jax.tree.map(pick, res2, res)
+
     def run(self, log=print, resume: bool = False):
         cfg = self.config
         if not self.scenes:
@@ -135,21 +204,37 @@ class ShardedPipeline(Pipeline):
             self.key, sub = jax.random.split(self.key)
             return jax.random.split(jax.random.fold_in(sub, tag), N)
 
-        res = solve_scenes_sharded(batch.images, batch.cameras, keys(0),
-                                   self.params, "photometric", self.mesh)
-        for git in range(cfg.geom_iterations):
-            src_d = gather_src_depths(res.depth, jnp.asarray(batch.src_indices))
-            res = solve_scenes_sharded(
-                batch.images, batch.cameras, keys(git + 1), self.params,
-                "geom", self.mesh, warm=res, src_depths=src_d)
+        sched = self.pass_schedule()
+        skip, loaded = self._resume_point(resume)
+        if loaded:
+            log(f"resume: skipping {skip} completed pass(es)")
+            res = self._batch_from_records(batch)
+        else:
+            import os
+            if os.path.exists(self._manifest_path()):
+                os.remove(self._manifest_path())
+            res = None
 
-        # unpack to per-view records, crop padding
-        for i, vid in enumerate(batch.ref_ids):
-            h, w = batch.orig_sizes[i]
-            self.views[vid].result = SolveResult(
-                depth=res.depth[i, :h, :w], normal=res.normal[i, :h, :w],
-                cost=res.cost[i, :h, :w], geom_cost=res.geom_cost[i, :h, :w])
-            self.save_view(vid)
+        for pi, (tag, geom, prior) in enumerate(sched):
+            if pi < skip:
+                continue
+            if geom:
+                src_d = gather_src_depths(res.depth,
+                                          jnp.asarray(batch.src_indices))
+                res = solve_scenes_sharded(
+                    batch.images, batch.cameras, keys(2 * pi), self.params,
+                    "geom", self.mesh, warm=res, src_depths=src_d)
+            else:
+                src_d = None
+                res = solve_scenes_sharded(batch.images, batch.cameras,
+                                           keys(2 * pi), self.params,
+                                           "photometric", self.mesh)
+            if prior:
+                res = self._prior_subrun(batch, res, keys(2 * pi + 1), geom,
+                                         src_d, log)
+            self._store_batch(batch, res, tag)
+            log(f"pass {tag} done")
+
         if cfg.sky_seg:
             self._compute_sky_masks(log)
         return self.fuse(log=log)

@@ -31,7 +31,10 @@ class PatchMatchParams:
     cost_max: float = 2.0            # NCC invalid cost (PatchMatch.cu:341)
     geom_cost_max: float = 3.0       # reprojection error clamp (PatchMatch.cu:619)
     geom_weight: float = 0.2         # geometric cost weight (PatchMatch.cu:687,886)
-    geom_fail_cost: float = 0.3      # missing-candidate geom penalty 0.1*3 (PatchMatch.cu:889)
+    # (no geom_fail_cost knob: the reference's missing-candidate penalty
+    # 0.1*3.0 on top of an *uninitialized* cost read (PatchMatch.cu:889) is
+    # replaced by +inf — invalid candidates are never adopted. Documented
+    # deviation, see ops/propagation.py.)
     num_mc_samples: int = 15         # Monte-Carlo view draws (PatchMatch.cu:856)
     prior_gamma: float = 0.5         # planar-prior score floor (PatchMatch.cu:926)
     prior_beta: float = 0.18         # cost->score temperature (PatchMatch.cu:932)
@@ -79,6 +82,14 @@ class ConfigParams:
     max_source_images: int = 20
     max_image_size: int = 3200
     seed: int = 0
+    # Extension (not in the reference YAML schema): make the prior sub-run
+    # inside geometric passes keep the 0.2-weighted geometric-consistency
+    # term and the geometric iteration count. The reference *drops* both —
+    # its prior Run always calls SetGeomConsistencyParams(false, true)
+    # (PatchMatch.cpp:533, 655-663), i.e. photometric scoring with
+    # max_iterations=3 — so False reproduces the reference exactly and True
+    # enables the paper's arguably-intended geom+prior coupling.
+    geom_prior_consistency: bool = False
 
     # Reference YAML keys (config/config.yaml:1-18, utility.cpp:8-35).
     _YAML_KEYS = {
@@ -95,6 +106,8 @@ class ConfigParams:
         "Save Normal Map": "save_normal_dmb",
         "Max source images num": "max_source_images",
         "Max image size": "max_image_size",
+        # extension keys (accepted, not produced by the reference)
+        "Geometric prior consistency": "geom_prior_consistency",
     }
 
     @classmethod

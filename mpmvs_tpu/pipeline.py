@@ -132,20 +132,28 @@ class Pipeline:
 
     def process_view(self, scene: Scene, geom: bool, prior: bool,
                      log=print) -> SolveResult:
-        """ProcessProblem equivalent: one view's solve (+ prior sub-run)."""
+        """ProcessProblem equivalent: one view's solve (+ prior sub-run).
+
+        The prior sub-run reproduces the reference exactly by default:
+        photometric scoring, ``max_iterations`` iterations at scale 0
+        (SetGeomConsistencyParams(false, true), PatchMatch.cpp:533, 655-663).
+        With ``config.geom_prior_consistency`` and ``geom=True`` it instead
+        keeps the geometric term + iteration count ("geom_prior" mode).
+        """
         t0 = time.time()
         images, cams, (H, W) = self._scene_stack(scene)
         rec = self.views[scene.ref_id]
         h, w = rec.image.shape
         warm = rec.result
 
+        src_depths = None
         if geom:
-            src_depths = _pad_stack(
+            src_depths = jnp.asarray(_pad_stack(
                 [np.asarray(self.views[v].result.depth)
-                 for v in scene.src_ids[1:]], (H, W))
+                 for v in scene.src_ids[1:]], (H, W)))
             res = solve_view(images, cams, self._next_key(), self.params,
                              "geom", warm=_pad_result(warm, H, W),
-                             src_depths=jnp.asarray(src_depths))
+                             src_depths=src_depths)
         else:
             res = solve_view(images, cams, self._next_key(), self.params,
                              "photometric")
@@ -164,9 +172,14 @@ class Pipeline:
                 cv2.imwrite(os.path.join(self.result_dir(scene.ref_id),
                                          "triangulation.png"),
                             draw_triangulation(rec.image, pr))
+                if self.config.save_prior_dmb:
+                    self._save_prior(scene.ref_id, pr, (h, w))
+                geom_prior = geom and self.config.geom_prior_consistency
                 res2 = solve_view(
-                    images, cams, self._next_key(), self.params, "prior",
+                    images, cams, self._next_key(), self.params,
+                    "geom_prior" if geom_prior else "prior",
                     warm=_pad_result(res, H, W),
+                    src_depths=src_depths if geom_prior else None,
                     prior_planes=jnp.asarray(_pad_stack([pr.planes], (H, W, 4))[0]),
                     prior_mask=jnp.asarray(_pad_stack(
                         [pr.mask.astype(np.float32)], (H, W))[0] > 0))
@@ -176,6 +189,26 @@ class Pipeline:
         log(f"view {scene.ref_id:08d}: geom={geom} prior={prior} "
             f"{time.time() - t0:.1f}s")
         return res
+
+    def _save_prior(self, view_id: int, pr, shape):
+        """Rasterized prior depth/normal maps (the reference sketches this as
+        commented-out depths_prior.dmb/normal_prior.dmb writes,
+        PatchMatch.cpp:600-605); enabled by ``save_prior_dmb``."""
+        from mpmvs_tpu import geometry as geo
+        h, w = shape
+        cam = self.views[view_id].camera
+        x, y = np.meshgrid(np.arange(w, dtype=np.float32),
+                           np.arange(h, dtype=np.float32))
+        pl = pr.planes[:h, :w]
+        mask = pr.mask[:h, :w]
+        d = np.asarray(geo.depth_from_plane(jnp.asarray(cam.K),
+                                            jnp.asarray(pl),
+                                            jnp.asarray(x), jnp.asarray(y)))
+        d = np.where(mask, d, 0.0).astype(np.float32)
+        dirn = self.result_dir(view_id)
+        write_dmb(os.path.join(dirn, "depths_prior.dmb"), d)
+        write_dmb(os.path.join(dirn, "normal_prior.dmb"),
+                  np.where(mask[..., None], pl[..., :3], 0.0).astype(np.float32))
 
     def save_view(self, view_id: int):
         """Reference-layout .dmb outputs + costs.jpg (PatchMatch.cpp:620-633)."""
@@ -202,6 +235,65 @@ class Pipeline:
             cost=jnp.asarray(cost), geom_cost=jnp.zeros_like(jnp.asarray(cost)))
         return True
 
+    # ---------------- pass manifest (checkpoint/resume) ----------------
+    # The reference resumes only *incidentally* (geom passes re-read .dmb
+    # files, PatchMatch.cpp:1052-1086) and only into a geometric pass. Here
+    # every completed pass is recorded in a manifest next to the .dmb
+    # checkpoints, so a killed run resumes after the last *completed* pass —
+    # photometric or any geometric iteration (SURVEY.md §5).
+
+    def _manifest_path(self) -> str:
+        d = os.path.join(self.config.output_folder, "MPMVS")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, "progress.json")
+
+    def completed_passes(self) -> List[str]:
+        import json
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f).get("completed", [])
+        except (FileNotFoundError, ValueError):
+            return []
+
+    def _mark_pass_done(self, tag: str):
+        import json
+        done = self.completed_passes()
+        if tag not in done:
+            done.append(tag)
+        with open(self._manifest_path(), "w") as f:
+            json.dump({"completed": done}, f)
+
+    def pass_schedule(self):
+        """[(tag, geom, prior), ...] — the reference's main.cpp:20-41 order."""
+        cfg = self.config
+        photo_prior = cfg.planar_prior and not cfg.geom_planar_prior
+        sched = [("photometric", False, photo_prior)]
+        for git in range(cfg.geom_iterations):
+            prior = (cfg.planar_prior and cfg.geom_planar_prior
+                     and git != cfg.geom_iterations - 1)
+            sched.append((f"geom_{git}", True, prior))
+        return sched
+
+    def _resume_point(self, resume: bool):
+        """(number of passes to skip, whether stored results were loaded)."""
+        if not resume:
+            return 0, False
+        done = self.completed_passes()
+        sched = self.pass_schedule()
+        skip = 0
+        for tag, _, _ in sched:
+            if tag in done:
+                skip += 1
+            else:
+                break
+        if skip == 0:
+            return 0, False
+        ok = all(self.load_view_result(s.ref_id)
+                 for s in self.scenes if s.estimate)
+        if not ok:
+            return 0, False  # checkpoints missing — recompute from scratch
+        return skip, True
+
     # ---------------- passes ----------------
 
     def run(self, log=print, resume: bool = False):
@@ -211,21 +303,26 @@ class Pipeline:
         estimable = [s for s in self.scenes if s.estimate]
         log(f"{len(estimable)} depth maps to compute")
 
-        # pass 1: photometric (main.cpp:20-26)
-        photo_prior = cfg.planar_prior and not cfg.geom_planar_prior
-        for s in estimable:
-            if resume and self.load_view_result(s.ref_id):
-                continue
-            self.process_view(s, geom=False, prior=photo_prior, log=log)
-            self.save_view(s.ref_id)
+        sched = self.pass_schedule()
+        skip, loaded = self._resume_point(resume)
+        if loaded:
+            log(f"resume: skipping {skip} completed pass(es) "
+                f"({', '.join(t for t, _, _ in sched[:skip])})")
+        elif os.path.exists(self._manifest_path()):
+            os.remove(self._manifest_path())  # fresh run: drop stale manifest
 
-        # geometric passes (main.cpp:28-41)
-        for git in range(cfg.geom_iterations):
-            prior = (cfg.planar_prior and cfg.geom_planar_prior
-                     and git != cfg.geom_iterations - 1)
+        for pi, (tag, geom, prior) in enumerate(sched):
+            if pi < skip:
+                continue
             for s in estimable:
-                self.process_view(s, geom=True, prior=prior, log=log)
+                # within-pass resume for the (long) photometric pass only:
+                # per-view .dmb results exist but the pass isn't marked done
+                if (resume and not geom and skip == 0
+                        and self.load_view_result(s.ref_id)):
+                    continue
+                self.process_view(s, geom=geom, prior=prior, log=log)
                 self.save_view(s.ref_id)
+            self._mark_pass_done(tag)
 
         # sky masks (main.cpp:43-47)
         if cfg.sky_seg:

@@ -9,7 +9,13 @@ types of the reference map to:
   * geometric:   warm-start from a previous result + neighbor depth maps,
     single scale 0, ``geom_iterations`` iterations (PatchMatch.cu:1211-1221).
   * prior:       perturbed planar-prior init on masked pixels, single scale
-    0, ``max_iterations`` iterations, prior-regularized scoring.
+    0, ``max_iterations`` iterations, prior-regularized *photometric*
+    scoring — exactly the reference's prior Run, which always sets
+    geom_consistency=false (SetGeomConsistencyParams(false, true),
+    PatchMatch.cpp:533, 655-663).
+  * geom_prior:  extension — prior-regularized scoring with the 0.2-weighted
+    geometric term kept in the candidate costs and ``geom_iterations``
+    iterations; opt-in via ConfigParams.geom_prior_consistency.
 
 Initialization always scores with the coarsest (scale ``max_scale``) window,
 like the reference's ``InitializeScore<<<...>>>(..., maxScale)``
@@ -35,10 +41,11 @@ from mpmvs_tpu import geometry as geo
 from mpmvs_tpu.camera import CameraStack
 from mpmvs_tpu.params import PatchMatchParams
 from mpmvs_tpu.ops import random as pmrand
-from mpmvs_tpu.ops.ncc import ncc_cost
+from mpmvs_tpu.ops.ncc import ncc_eval, ncc_refside
 from mpmvs_tpu.ops.filters import checkerboard_median_filter
 from mpmvs_tpu.ops.propagation import (PatchMatchState, SolveData,
-                                       checkerboard_step)
+                                       auto_band_rows, checkerboard_step,
+                                       step_halo)
 from mpmvs_tpu.ops.view_selection import initial_cost_and_views
 
 Array = jax.Array
@@ -83,9 +90,51 @@ def build_solve_data(
     )
 
 
+def _initial_score(data: SolveData, params: PatchMatchParams,
+                   plane: Array, band_rows: int):
+    """Banded initial multi-view scoring + top-k view selection
+    (ComputeMultiViewInitialCostandSelectedViews, PatchMatch.cu:497-534).
+
+    Scores all pixels (no checkerboard packing — init touches every pixel)
+    in row bands so the (S, rows, W) cost tensors bound peak memory."""
+    H, W = data.ref_img.shape
+    offsets = params.tap_offsets(params.max_scale)
+    halo = step_halo(params.max_scale)
+    br = min(band_rows, H)
+    n_bands = -(-H // br)
+    Hb = n_bands * br
+    pad_b = Hb - H
+
+    ref_pad = jnp.pad(data.ref_img, ((halo, halo + pad_b), (0, 0)), mode="edge")
+    plane_pad = jnp.pad(plane, ((0, pad_b), (0, 0), (0, 0)))
+    Hs = br + 2 * halo
+
+    def band_fn(b):
+        y0 = b * br
+        ref_s = jax.lax.dynamic_slice(ref_pad, (y0, 0), (Hs, W))
+        plane_c = jax.lax.dynamic_slice(plane_pad, (y0, 0, 0), (br, W, 4))
+        refside = ncc_refside(ref_s, halo, br, offsets,
+                              params.sigma_spatial, params.sigma_color)
+        xb = jax.lax.broadcasted_iota(jnp.float32, (br, W), 1)
+        yb = jax.lax.broadcasted_iota(jnp.float32, (br, W), 0) + y0
+        costs_v = ncc_eval(refside, data.src_imgs, data.src_widths,
+                           data.src_heights, data.A, data.b, data.K_ref,
+                           plane_c, xb, yb, offsets, params.cost_max)
+        return initial_cost_and_views(costs_v, params.top_k, params.cost_max)
+
+    if n_bands == 1:
+        cost, sel = band_fn(jnp.int32(0))
+    else:
+        cost_b, sel_b = jax.lax.map(band_fn,
+                                    jnp.arange(n_bands, dtype=jnp.int32))
+        cost = cost_b.reshape(Hb, W)[:H]
+        sel = sel_b.reshape(Hb, W)[:H]
+    return cost, sel
+
+
 def _initial_state(data: SolveData, params: PatchMatchParams, key: Array,
-                   mode: str,
-                   warm: Optional[SolveResult]) -> PatchMatchState:
+                   mode: str, warm: Optional[SolveResult],
+                   band_rows: int) -> PatchMatchState:
     """InitializeScore equivalent (PatchMatch.cu:536-573)."""
     H, W = data.ref_img.shape
     x, y = geo.pixel_grid(H, W)
@@ -93,14 +142,12 @@ def _initial_state(data: SolveData, params: PatchMatchParams, key: Array,
     if mode == "photometric":
         plane = pmrand.random_plane_field(key, data.K_ref, x, y,
                                           data.depth_min, data.depth_max)
-        prev_cost = None
     else:
         # warm start: stored maps are (world normal, depth) — convert back
         # to (camera normal, plane offset) (PatchMatch.cu:563-571).
         n_cam = geo.normal_world_to_cam(data.R_ref, warm.normal)
         plane = geo.plane_from_depth_normal(data.K_ref, x, y, warm.depth, n_cam)
-        prev_cost = warm.cost
-        if mode == "prior":
+        if mode in ("prior", "geom_prior"):
             # masked, still-uncertain pixels restart from a perturbed prior
             # plane (PatchMatch.cu:552-562): offset +-6%, normal +-0.06*pi.
             k_d, k_n = jax.random.split(key)
@@ -114,14 +161,18 @@ def _initial_state(data: SolveData, params: PatchMatchParams, key: Array,
             use_prior = data.prior_mask & (warm.cost >= 0.1)
             plane = jnp.where(use_prior[..., None], prior_plane, plane)
 
-    costs_v = ncc_cost(
-        data.ref_img, data.src_imgs, data.src_widths, data.src_heights,
-        data.A, data.b, data.K_ref, plane,
-        params.tap_offsets(params.max_scale),
-        params.sigma_spatial, params.sigma_color, params.cost_max)
-    cost, sel = initial_cost_and_views(costs_v, params.top_k, params.cost_max)
+    cost, sel = _initial_score(data, params, plane, band_rows)
     geom_cost = jnp.zeros((H, W), jnp.float32)
     return PatchMatchState(plane=plane, cost=cost, geom_cost=geom_cost, sel=sel)
+
+
+def _pad_rows_cols(a: Array, pad_h: int, pad_w: int, mode: str = "edge"):
+    """Pad the trailing two spatial axes at the bottom/right."""
+    if pad_h == 0 and pad_w == 0:
+        return a
+    cfg = [(0, 0)] * (a.ndim - 2) + [(0, pad_h), (0, pad_w)]
+    # a may have a trailing channel axis (…, H, W, C) — caller moves axes.
+    return jnp.pad(a, cfg, mode=mode)
 
 
 def solve_view_impl(
@@ -147,12 +198,47 @@ def solve_view_impl(
     partitioner then splits each iteration across devices and inserts the
     halo exchanges the propagation stencils need (parallel.tile_sharding).
     """
-    assert mode in ("photometric", "geom", "prior")
-    geom = mode == "geom"
-    prior = mode == "prior"
+    assert mode in ("photometric", "geom", "prior", "geom_prior")
+    geom = mode in ("geom", "geom_prior")
+    prior = mode in ("prior", "geom_prior")
+
+    # The checkerboard packing needs even H and W: pad bottom/right with
+    # edge-replicated pixels (source valid extents are unaffected — they come
+    # from the cameras) and crop the results.
+    V, H0, W0 = images.shape
+    pad_h, pad_w = H0 % 2, W0 % 2
+    if pad_h or pad_w:
+        images = _pad_rows_cols(images, pad_h, pad_w)
+        if warm is not None:
+            warm = SolveResult(
+                depth=_pad_rows_cols(warm.depth, pad_h, pad_w),
+                normal=jnp.moveaxis(_pad_rows_cols(
+                    jnp.moveaxis(warm.normal, -1, 0), pad_h, pad_w), 0, -1),
+                cost=_pad_rows_cols(warm.cost, pad_h, pad_w),
+                geom_cost=_pad_rows_cols(warm.geom_cost, pad_h, pad_w))
+        if src_depths is not None:
+            src_depths = _pad_rows_cols(src_depths, pad_h, pad_w,
+                                        mode="constant")
+        if prior_planes is not None:
+            prior_planes = jnp.moveaxis(_pad_rows_cols(
+                jnp.moveaxis(prior_planes, -1, 0), pad_h, pad_w,
+                mode="constant"), 0, -1)
+            prior_mask = _pad_rows_cols(prior_mask, pad_h, pad_w,
+                                        mode="constant")
+
     data = build_solve_data(images, cameras, src_depths, prior_planes,
                             prior_mask)
     H, W = data.ref_img.shape
+    S = data.src_imgs.shape[0]
+
+    # Row-band height bounding peak HBM (VERDICT r1 #1). Tile-sharded solves
+    # run single-band: the mesh already splits the working set across chips.
+    if state_sharding is not None:
+        band_rows = H
+    else:
+        band_rows = params.band_rows if params.band_rows > 0 else (
+            auto_band_rows(H, W, S, geom or prior))
+        band_rows = min(band_rows - (band_rows % 2) or H, H)
 
     def constrain(st: PatchMatchState) -> PatchMatchState:
         if state_sharding is None:
@@ -161,28 +247,34 @@ def solve_view_impl(
             lambda a: jax.lax.with_sharding_constraint(a, state_sharding), st)
 
     k_init, k_iter = jax.random.split(key)
-    state = constrain(_initial_state(data, params, k_init, mode, warm))
+    state = constrain(_initial_state(data, params, k_init, mode, warm,
+                                     band_rows))
 
     n_iter = params.geom_iterations if geom else params.max_iterations
     scales = list(range(params.max_scale, -1, -1)) if mode == "photometric" else [0]
 
     for si, scale in enumerate(scales):
-        def body(i, st, _scale=scale, _si=si):
-            iteration = i // 2
-            phase = i % 2
-            k = jax.random.fold_in(jax.random.fold_in(k_iter, _si), i)
-            return constrain(checkerboard_step(st, data, params, _scale,
-                                               iteration, phase, k, geom,
-                                               prior))
-        state = jax.lax.fori_loop(0, 2 * n_iter, body, state)
+        def body(it, st, _scale=scale, _si=si):
+            # black then red half-iterations (PatchMatch.cu:1213-1217);
+            # phase is static so each color's pixels are packed densely.
+            k_si = jax.random.fold_in(k_iter, _si)
+            for phase in (0, 1):
+                k = jax.random.fold_in(jax.random.fold_in(k_si, phase), it)
+                st = constrain(checkerboard_step(st, data, params, _scale,
+                                                 it, phase, k, geom, prior,
+                                                 band_rows))
+            return st
+        state = jax.lax.fori_loop(0, n_iter, body, state)
 
     # plane -> (depth, world normal) (GetDepthandNormal, PatchMatch.cu:1021-1034)
     x, y = geo.pixel_grid(H, W)
     depth = geo.depth_from_plane(data.K_ref, state.plane, x, y)
     normal = geo.normal_cam_to_world(data.R_ref, state.plane[..., :3])
-    depth = checkerboard_median_filter(depth, state.cost)
-    return SolveResult(depth=depth, normal=normal, cost=state.cost,
-                       geom_cost=state.geom_cost)
+    crop = lambda a: a[:H0, :W0]
+    depth = checkerboard_median_filter(crop(depth), crop(state.cost))
+    return SolveResult(depth=depth, normal=crop(normal),
+                       cost=crop(state.cost),
+                       geom_cost=crop(state.geom_cost))
 
 
 solve_view = jax.jit(solve_view_impl,
@@ -220,5 +312,15 @@ class PatchMatchSolver:
                      prior_planes, prior_mask) -> SolveResult:
         return solve_view(jnp.asarray(images), cameras, self._next_key(),
                           self.params, mode="prior", warm=warm,
+                          prior_planes=jnp.asarray(prior_planes),
+                          prior_mask=jnp.asarray(prior_mask))
+
+    def geom_planar_prior(self, images, cameras, warm: SolveResult,
+                          src_depths, prior_planes, prior_mask) -> SolveResult:
+        """Combined prior + geometric-consistency sub-run (extension; the
+        reference's prior Run drops the geom term — PatchMatch.cpp:533)."""
+        return solve_view(jnp.asarray(images), cameras, self._next_key(),
+                          self.params, mode="geom_prior", warm=warm,
+                          src_depths=jnp.asarray(src_depths),
                           prior_planes=jnp.asarray(prior_planes),
                           prior_mask=jnp.asarray(prior_mask))

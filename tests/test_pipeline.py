@@ -83,6 +83,124 @@ class TestPriorPipeline:
         assert np.median(rel) < 0.02
 
 
+class TestResumeAllPasses:
+    def test_geom_pass_resume(self, tmp_path):
+        """Kill-and-resume covering a *geometric* pass: the manifest records
+        completed passes, so a rerun redoes only the missing ones."""
+        scene = make_plane_scene(num_views=3, height=48, width=64, seed=19)
+        folder = str(tmp_path)
+        write_workspace(scene, folder)
+        cfg = ConfigParams(input_folder=folder, output_folder=folder,
+                           geom_iterations=2, planar_prior=False,
+                           geom_planar_prior=False)
+        pipe = Pipeline(cfg, FAST)
+        pipe.run(log=lambda *a: None)
+        manifest = os.path.join(folder, "MPMVS", "progress.json")
+        done = json.load(open(manifest))["completed"]
+        assert done == ["photometric", "geom_0", "geom_1"]
+
+        # simulate a crash after geom_0: geom_1 missing from the manifest
+        json.dump({"completed": ["photometric", "geom_0"]}, open(manifest, "w"))
+        pipe2 = Pipeline(cfg, FAST)
+        calls = []
+        orig = pipe2.process_view
+        pipe2.process_view = lambda *a, **k: (calls.append(k.get("geom", a[1] if len(a) > 1 else None)), orig(*a, **k))[1]
+        pipe2.run(log=lambda *a: None, resume=True)
+        assert len(calls) == 3  # one geom pass x 3 views, nothing else
+        done = json.load(open(manifest))["completed"]
+        assert done == ["photometric", "geom_0", "geom_1"]
+
+    def test_fresh_run_clears_manifest(self, tmp_path):
+        scene = make_plane_scene(num_views=3, height=48, width=64, seed=20)
+        folder = str(tmp_path)
+        write_workspace(scene, folder)
+        cfg = ConfigParams(input_folder=folder, output_folder=folder,
+                           geom_iterations=0, planar_prior=False,
+                           geom_planar_prior=False)
+        Pipeline(cfg, FAST).run(log=lambda *a: None)
+        pipe = Pipeline(cfg, FAST)
+        calls = []
+        orig = pipe.process_view
+        pipe.process_view = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+        pipe.run(log=lambda *a: None, resume=False)  # no resume: recompute
+        assert len(calls) == 3
+
+
+class TestShardedParity:
+    """ShardedPipeline must support the full feature set (VERDICT r1 #5):
+    planar prior, resume, sky scheduling — not just photometric+geom."""
+
+    def _cfg(self, folder, **kw):
+        base = dict(input_folder=folder, output_folder=folder,
+                    geom_iterations=1, planar_prior=True,
+                    geom_planar_prior=True, sky_seg=False)
+        base.update(kw)
+        return ConfigParams(**base)
+
+    def test_sharded_planar_prior_run(self, tmp_path):
+        from mpmvs_tpu.parallel.view_sharding import ShardedPipeline
+
+        scene = make_plane_scene(num_views=3, height=48, width=64, seed=21)
+        folder = str(tmp_path)
+        write_workspace(scene, folder)
+        # photometric prior schedule (prior sub-run in pass 1)
+        cfg = self._cfg(folder, geom_iterations=1, planar_prior=True,
+                        geom_planar_prior=False)
+        pipe = ShardedPipeline(cfg, FAST, devices=jax.devices()[:4])
+        ply = pipe.run(log=lambda *a: None)
+        assert os.path.exists(ply)
+        assert os.path.exists(os.path.join(folder, "MPMVS", "2333_00000000",
+                                           "triangulation.png"))
+        d = read_dmb(os.path.join(folder, "MPMVS", "2333_00000000",
+                                  "depths.dmb"))
+        rel = np.abs(d - scene.gt_depth[0]) / scene.gt_depth[0]
+        # same accuracy bar as the single-device prior pipeline test
+        assert np.median(rel) < 0.02, np.median(rel)
+
+    def test_sharded_geom_prior_schedule(self, tmp_path):
+        """geomPlanarPrior schedule: prior sub-runs inside every non-final
+        geometric pass, exercised end-to-end on the sharded path."""
+        from mpmvs_tpu.parallel.view_sharding import ShardedPipeline
+
+        scene = make_plane_scene(num_views=3, height=48, width=64, seed=22)
+        folder = str(tmp_path)
+        write_workspace(scene, folder)
+        cfg = self._cfg(folder, geom_iterations=2, planar_prior=True,
+                        geom_planar_prior=True)
+        pipe = ShardedPipeline(cfg, FAST, devices=jax.devices()[:4])
+        pipe.run(log=lambda *a: None)
+        done = json.load(open(os.path.join(folder, "MPMVS",
+                                           "progress.json")))["completed"]
+        assert done == ["photometric", "geom_0", "geom_1"]
+        # prior sub-run ran inside geom_0 -> triangulation overlay exists
+        assert os.path.exists(os.path.join(folder, "MPMVS", "2333_00000000",
+                                           "triangulation.png"))
+
+    def test_sharded_resume(self, tmp_path):
+        from mpmvs_tpu.parallel.view_sharding import ShardedPipeline
+
+        scene = make_plane_scene(num_views=3, height=48, width=64, seed=23)
+        folder = str(tmp_path)
+        write_workspace(scene, folder)
+        cfg = self._cfg(folder, geom_iterations=1, planar_prior=False,
+                        geom_planar_prior=False)
+        ShardedPipeline(cfg, FAST, devices=jax.devices()[:4]).run(
+            log=lambda *a: None)
+        manifest = os.path.join(folder, "MPMVS", "progress.json")
+        json.dump({"completed": ["photometric"]}, open(manifest, "w"))
+        pipe2 = ShardedPipeline(cfg, FAST, devices=jax.devices()[:4])
+        solved = []
+        import mpmvs_tpu.parallel.view_sharding as vs
+        orig = vs.solve_scenes_sharded
+        try:
+            vs.solve_scenes_sharded = lambda *a, **k: (
+                solved.append(a[4]), orig(*a, **k))[1]
+            pipe2.run(log=lambda *a: None, resume=True)
+        finally:
+            vs.solve_scenes_sharded = orig
+        assert solved == ["geom"]  # photometric skipped via manifest
+
+
 class TestSharding:
     def test_dryrun_multichip(self):
         import __graft_entry__ as graft

@@ -98,6 +98,38 @@ class TestPrior:
         assert np.median(rel) < 0.01, np.median(rel)
 
 
+class TestGeomPrior:
+    def test_combined_mode_uses_neighbor_depths(self, scene, photometric_result):
+        """geom_prior scoring must depend on the source depth maps (the
+        0.2-weighted geometric term stays in the prior sub-run)."""
+        from mpmvs_tpu import geometry as geo
+        cams = scene.cameras
+        ref = cams.view(0)
+        H, W = 64, 80
+        x, y = geo.pixel_grid(H, W)
+        n_cam = geo.normal_world_to_cam(ref.R, jnp.asarray(scene.gt_normal_world))
+        prior_planes = geo.plane_from_depth_normal(
+            ref.K, x, y, jnp.asarray(scene.gt_depth[0]),
+            jnp.broadcast_to(n_cam, (H, W, 3)))
+        prior_mask = jnp.ones((H, W), bool)
+        kw = dict(warm=photometric_result, prior_planes=prior_planes,
+                  prior_mask=prior_mask)
+        res_good = solve_view(jnp.asarray(scene.images), scene.cameras,
+                              jax.random.PRNGKey(9), FAST, "geom_prior",
+                              src_depths=jnp.asarray(scene.gt_depth[1:]), **kw)
+        res_bad = solve_view(jnp.asarray(scene.images), scene.cameras,
+                             jax.random.PRNGKey(9), FAST, "geom_prior",
+                             src_depths=jnp.asarray(scene.gt_depth[1:]) * 1.5,
+                             **kw)
+        assert not np.array_equal(np.asarray(res_good.cost),
+                                  np.asarray(res_bad.cost))
+        # with consistent neighbors the result stays accurate
+        d = np.asarray(res_good.depth)
+        rel = np.abs(d - scene.gt_depth[0]) / scene.gt_depth[0]
+        assert np.median(rel) < 0.01, np.median(rel)
+        assert np.isfinite(np.asarray(res_good.geom_cost)).all()
+
+
 class TestSolverWrapper:
     def test_lifecycle(self, scene):
         solver = PatchMatchSolver(FAST, seed=7)
