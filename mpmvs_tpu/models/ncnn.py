@@ -112,6 +112,45 @@ def load_ncnn(param_path: str, bin_path: str) -> List[NcnnLayer]:
     return layers
 
 
+def save_npz(layers: List[NcnnLayer], path: str) -> None:
+    """Serialize a parsed layer graph to one .npz (weights stored float16 —
+    the source model is fp16, so this is lossless — plus a JSON graph).
+    Lets the framework vendor converted weights instead of depending on the
+    reference checkout at runtime."""
+    import json
+
+    meta = [{"type": l.type, "name": l.name, "inputs": l.inputs,
+             "outputs": l.outputs,
+             "params": {str(k): v for k, v in l.params.items()}}
+            for l in layers]
+    arrays = {"__graph__": np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)}
+    for i, l in enumerate(layers):
+        for wname, w in l.weights.items():
+            # conv weights are fp16 in the source model (lossless to store as
+            # such); biases are fp32 raw — keep full precision
+            arrays[f"{i}.{wname}"] = (w.astype(np.float16)
+                                      if wname == "weight" else w)
+    np.savez_compressed(path, **arrays)
+
+
+def load_npz(path: str) -> List[NcnnLayer]:
+    """Inverse of :func:`save_npz`."""
+    import json
+
+    z = np.load(path)
+    meta = json.loads(bytes(z["__graph__"]).decode())
+    layers = []
+    for i, m in enumerate(meta):
+        layer = NcnnLayer(m["type"], m["name"], m["inputs"], m["outputs"],
+                          {int(k): v for k, v in m["params"].items()})
+        for key in z.files:
+            if key.startswith(f"{i}."):
+                layer.weights[key.split(".", 1)[1]] = z[key].astype(np.float32)
+        layers.append(layer)
+    return layers
+
+
 def _conv(x, layer: NcnnLayer):
     """x: (C, H, W). ncnn weight layout (out, in, kh, kw)."""
     import jax

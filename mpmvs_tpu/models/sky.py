@@ -19,8 +19,14 @@ from typing import Optional
 
 import numpy as np
 
-SKY_MODEL_DIR = os.environ.get(
-    "MPMVS_SKY_MODEL_DIR", "/root/reference/segment_model")
+# Weight resolution order: explicit env override (an ncnn model dir or a
+# vendored .npz) -> the .npz vendored in this package (models/weights/) ->
+# an ncnn checkout. The vendored file makes `sky_seg: 1` work without any
+# external model directory (the reference hard-depends on its checkout's
+# segment_model/, SkySegment/src/SkyRegionDetect.cpp:620-640).
+VENDORED_NPZ = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "weights", "skyseg_fp16.npz")
+SKY_MODEL_DIR = os.environ.get("MPMVS_SKY_MODEL_DIR", VENDORED_NPZ)
 PARAM_NAME = "skysegsmall_sim-opt-fp16.param"
 BIN_NAME = "skysegsmall_sim-opt-fp16.bin"
 
@@ -31,18 +37,27 @@ _executor_cache = {}
 
 
 def sky_model_available(model_dir: str = SKY_MODEL_DIR) -> bool:
+    if model_dir.endswith(".npz"):
+        return os.path.exists(model_dir) or os.path.exists(VENDORED_NPZ)
     return (os.path.exists(os.path.join(model_dir, PARAM_NAME))
             and os.path.exists(os.path.join(model_dir, BIN_NAME)))
+
+
+def _load_layers(model_dir: str):
+    from mpmvs_tpu.models.ncnn import load_ncnn, load_npz
+    if model_dir.endswith(".npz"):
+        path = model_dir if os.path.exists(model_dir) else VENDORED_NPZ
+        return load_npz(path)
+    return load_ncnn(os.path.join(model_dir, PARAM_NAME),
+                     os.path.join(model_dir, BIN_NAME))
 
 
 def _get_executor(model_dir: str):
     import jax
     if model_dir not in _executor_cache:
-        from mpmvs_tpu.models.ncnn import load_ncnn, make_executor
-        layers = load_ncnn(os.path.join(model_dir, PARAM_NAME),
-                           os.path.join(model_dir, BIN_NAME))
+        from mpmvs_tpu.models.ncnn import make_executor
         _executor_cache[model_dir] = jax.jit(
-            make_executor(layers, "input.1", "1959"))
+            make_executor(_load_layers(model_dir), "input.1", "1959"))
     return _executor_cache[model_dir]
 
 

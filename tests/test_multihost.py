@@ -1,0 +1,66 @@
+"""Multi-host runner test: 2 localhost processes x 4 virtual CPU devices
+execute a view-sharded photometric+geom round over one global mesh
+(SURVEY.md §7.8). Exercises jax.distributed bring-up, global-array batch
+construction, cross-process collectives (gloo), per-process checkpoint
+writes and process-0 fusion."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mpmvs_tpu.io import read_dmb, read_ply_binary
+from mpmvs_tpu.utils.synthetic import make_plane_scene
+from mpmvs_tpu.utils.workspace import write_workspace
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_run(tmp_path):
+    scene = make_plane_scene(num_views=3, height=48, width=64, seed=31)
+    ws = str(tmp_path / "ws")
+    write_workspace(scene, ws)
+    port = _free_port()
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/mpmvs_jax_cache"
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "mpmvs_tpu.parallel.multihost",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--cpu-devices", "4", "--input", ws,
+             "--preset", "fast", "--geom-iterations", "1"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=840)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+
+    assert "point cloud:" in outs[0]
+    ply = os.path.join(ws, "MPMVS", "MPMVS_model.ply")
+    assert os.path.exists(ply)
+    pts, _, _ = read_ply_binary(ply)
+    assert len(pts) > 100
+    for v in range(3):
+        d = read_dmb(os.path.join(ws, "MPMVS", f"2333_{v:08d}", "depths.dmb"))
+        rel = np.abs(d - scene.gt_depth[v]) / scene.gt_depth[v]
+        assert np.median(rel) < 0.02, (v, np.median(rel))
