@@ -1,0 +1,336 @@
+"""Pallas TPU kernel for the bilateral-NCC hot loop's source sampling.
+
+Why this exists: the solver's innermost operation — bilinear-sampling the
+source images at homography-projected window taps (the reference's tex2D
+fetches, src/PatchMatch.cu:363-377) — has no TPU texture unit behind it.
+XLA lowers the per-element gathers to a scalar loop measured at ~12
+cycles/element on v5e, ~3 orders of magnitude below HBM streaming rate, and
+it dominates end-to-end runtime. This kernel replaces the gathers with a
+vectorized construction built from the two primitives Mosaic does vectorize:
+
+  * ``tpu.dynamic_gather`` along lanes (take_along_axis, axis=-1) within a
+    single 128-lane vreg block, and
+  * the same along sublanes with a *constant* index to broadcast one slab
+    row to all 8 sublanes,
+
+combined as: scan the (data-dependent) range of 8-row source slabs touched
+by a (8, 128)-pixel tile's taps; per slab row, broadcast it and gather the
+two bilinear x-corners per pixel per 128-lane block; blend with the
+bilinear weights. Exact (bit-comparable to the XLA path up to float
+rounding), measured ~12x faster than the XLA gather on spatially coherent
+sample fields (the common case: candidate/current/perturbed hypothesis
+fields). Random-depth fields (init, the two random refinement trials,
+PatchMatch.cu:675) have no coherence and stay on the XLA path — the solver
+picks per call site (ops/propagation.py).
+
+The source image stack stays in HBM (``pltpu.ANY``); each slab is DMA'd
+into VMEM scratch on demand, so image size is bounded by HBM, not VMEM.
+One kernel invocation computes a full 36-tap bilateral-ZNCC cost for one
+(tile, view) pair: tap projection (factorized homography, 2 FMAs/tap),
+slab-scan sampling, and the ZNCC reduction against precomputed
+reference-side moments (ops/ncc.NCCRefSide).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpmvs_tpu import geometry as geo
+from mpmvs_tpu.ops.ncc import K_MIN_VAR, NCCRefSide
+
+Array = jax.Array
+
+TR, TC = 8, 128  # pixel tile = one (sublane, lane) vreg
+
+
+def _kernel(
+    # SMEM scalar tables
+    ab_ref,        # (S, 12): per-view A (row-major 9) + b (3)
+    kinvt_ref,     # (1, 9): K_ref^-T row-major
+    wh_ref,        # (S, 2): valid (width, height) per view
+    # VMEM blocks (per tile)
+    w_ref,         # (T, TR, TC) bilateral weights
+    wr_ref,        # (T, TR, TC) weight * ref tap
+    invw_ref,      # (TR, TC)
+    mref_ref,      # (TR, TC)
+    varref_ref,    # (TR, TC)
+    plane_ref,     # (4, TR, TC)
+    xg_ref,        # (TR, TC) global x
+    yg_ref,        # (TR, TC) global y
+    # HBM
+    src_ref,       # (S, Hp, Wp), pltpu.ANY
+    # output
+    out_ref,       # (1, TR, TC) per-view cost
+    # scratch
+    slab_ref,      # (8, Wp) VMEM
+    vals_ref,      # (T, TR, TC) VMEM — accumulated tap samples
+    g0_ref, g1_ref,    # (T, TR, TC) int32 clipped x corners
+    fx_ref,        # (T, TR, TC) f32
+    y0_ref,        # (T, TR, TC) int32 clipped y0
+    fy_ref,        # (T, TR, TC) f32
+    rng_ref,       # (T, 4) int32 SMEM: per-tap slab lo/hi, col-block lo/hi
+    sem,           # DMA semaphore
+    *,
+    offsets: Tuple[Tuple[int, int], ...],
+    n_src_rows: int,   # Hp (multiple of 8)
+    n_src_cols: int,   # Wp (multiple of 128)
+    cost_max: float,
+):
+    s = pl.program_id(2)
+    T = len(offsets)
+
+    W = wh_ref[s, 0]
+    H = wh_ref[s, 1]
+    Wm1 = (W - 1.0).astype(jnp.float32)
+    Hm1 = (H - 1.0).astype(jnp.float32)
+
+    xg = xg_ref[:]
+    yg = yg_ref[:]
+    n0 = plane_ref[0]
+    n1 = plane_ref[1]
+    n2 = plane_ref[2]
+    w4 = plane_ref[3]
+
+    # m = K_ref^-T n ; scale = m / w  (geometry.homography_apply)
+    k = lambda i: kinvt_ref[0, i]
+    m0 = k(0) * n0 + k(1) * n1 + k(2) * n2
+    m1 = k(3) * n0 + k(4) * n1 + k(5) * n2
+    m2 = k(6) * n0 + k(7) * n1 + k(8) * n2
+    # divisions (not reciprocal-multiply) to match the XLA path's rounding:
+    # coordinate ulps matter — a tap crossing an integer boundary fetches a
+    # different pixel
+    s0 = m0 / w4
+    s1 = m1 / w4
+    s2 = m2 / w4
+
+    a = lambda i, j: ab_ref[s, 3 * i + j]
+    b = lambda i: ab_ref[s, 9 + i]
+    colx = [a(i, 0) - b(i) * s0 for i in range(3)]
+    coly = [a(i, 1) - b(i) * s1 for i in range(3)]
+    col1 = [a(i, 2) - b(i) * s2 for i in range(3)]
+    hp = [colx[i] * xg + coly[i] * yg + col1[i] for i in range(3)]
+
+    # center projection -> out-of-bounds mask (PatchMatch.cu:350-353)
+    inv_z = 1.0 / hp[2]
+    cx = hp[0] * inv_z
+    cy = hp[1] * inv_z
+    oob = ((cx < 0.0) | (cx >= W) | (cy < 0.0) | (cy >= H)
+           | ~jnp.isfinite(cx) | ~jnp.isfinite(cy))
+
+    # per-tap sample coordinates (static tap loop), sanitized + clipped;
+    # per-tap slab / column-block ranges go to SMEM so the scan loops are
+    # data-adaptive (cost follows the tile's actual projected footprint)
+    smin = jnp.int32(n_src_rows // 8 - 1)
+    smax = jnp.int32(0)
+    Wi = W.astype(jnp.int32)
+    Hi = H.astype(jnp.int32)
+    for t, (dx, dy) in enumerate(offsets):
+        hz = hp[2] + dx * colx[2] + dy * coly[2]
+        iz = 1.0 / hz
+        xs = (hp[0] + dx * colx[0] + dy * coly[0]) * iz
+        ys = (hp[1] + dx * colx[1] + dy * coly[1]) * iz
+        xs = jnp.where(jnp.isfinite(xs), xs, 0.0)
+        ys = jnp.where(jnp.isfinite(ys), ys, 0.0)
+        xs = jnp.clip(xs, 0.0, Wm1)
+        ys = jnp.clip(ys, 0.0, Hm1)
+        x0f = jnp.floor(xs)
+        y0f = jnp.floor(ys)
+        fx = xs - x0f
+        fy = ys - y0f
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+        g0 = jnp.clip(x0, 0, Wi - 1)
+        g1 = jnp.clip(x0 + 1, 0, Wi - 1)
+        g0_ref[t] = g0
+        g1_ref[t] = g1
+        y0c = jnp.clip(y0, 0, Hi - 1)
+        y0_ref[t] = y0c
+        fx_ref[t] = fx
+        fy_ref[t] = fy
+        vals_ref[t] = jnp.zeros((TR, TC), jnp.float32)
+        # y1 = y0c + 1 clipped; slab range must cover both
+        y1c = jnp.minimum(y0c + 1, Hi - 1)
+        t_slo = jnp.min(y0c) // 8
+        t_shi = jnp.max(y1c) // 8
+        rng_ref[t, 0] = t_slo
+        rng_ref[t, 1] = t_shi
+        rng_ref[t, 2] = jnp.min(g0) // TC
+        rng_ref[t, 3] = jnp.max(g1) // TC
+        smin = jnp.minimum(smin, t_slo)
+        smax = jnp.maximum(smax, t_shi)
+
+    def slab_body(sl, _):
+        copy = pltpu.make_async_copy(
+            src_ref.at[s, pl.ds(sl * 8, 8), :], slab_ref, sem)
+        copy.start()
+        copy.wait()
+
+        def tap_body(t, _):
+            @pl.when((rng_ref[t, 0] <= sl) & (sl <= rng_ref[t, 1]))
+            def _():
+                y0c = y0_ref[t]
+                fy = fy_ref[t]
+                g0 = g0_ref[t]
+                g1 = g1_ref[t]
+                fx = fx_ref[t]
+                y1c = jnp.minimum(y0c + 1, Hi - 1)
+                # y-blend weight per slab row; if y1 clipped onto y0
+                # (bottom edge) the weights sum to 1
+                wys = []
+                for kk in range(8):
+                    r = sl * 8 + kk
+                    wys.append(jnp.where(y0c == r, 1.0 - fy, 0.0)
+                               + jnp.where(y1c == r, fy, 0.0))
+
+                def block_body(cb, acc):
+                    blk = slab_ref[:, pl.ds(cb * TC, TC)]
+                    l0 = g0 - cb * TC
+                    l1 = g1 - cb * TC
+                    w0 = jnp.where((l0 >= 0) & (l0 < TC), 1.0 - fx, 0.0)
+                    w1 = jnp.where((l1 >= 0) & (l1 < TC), fx, 0.0)
+                    c0 = jnp.clip(l0, 0, TC - 1)
+                    c1 = jnp.clip(l1, 0, TC - 1)
+                    for kk in range(8):
+                        bk = jnp.take_along_axis(
+                            blk, jnp.full((TR, TC), kk, jnp.int32), axis=0)
+                        v0 = jnp.take_along_axis(bk, c0, axis=1)
+                        v1 = jnp.take_along_axis(bk, c1, axis=1)
+                        acc = acc + wys[kk] * (w0 * v0 + w1 * v1)
+                    return acc
+
+                vals_ref[t] = jax.lax.fori_loop(
+                    rng_ref[t, 2], rng_ref[t, 3] + 1, block_body, vals_ref[t])
+            return 0
+
+        jax.lax.fori_loop(0, T, tap_body, 0, unroll=True)
+        return 0
+
+    jax.lax.fori_loop(smin, smax + 1, slab_body, 0)
+
+    # ZNCC reduction against precomputed reference moments (ops/ncc.ncc_eval)
+    sum_src = jnp.zeros((TR, TC), jnp.float32)
+    sum_src2 = jnp.zeros((TR, TC), jnp.float32)
+    sum_rs = jnp.zeros((TR, TC), jnp.float32)
+    for t in range(T):
+        v = vals_ref[t]
+        wv = w_ref[t] * v
+        sum_src = sum_src + wv
+        sum_src2 = sum_src2 + wv * v
+        sum_rs = sum_rs + wr_ref[t] * v
+
+    inv_w = invw_ref[:]
+    m_src = sum_src * inv_w
+    var_src = sum_src2 * inv_w - m_src * m_src
+    covar = sum_rs * inv_w - mref_ref[:] * m_src
+    var_ref = varref_ref[:]
+    degenerate = (var_ref < K_MIN_VAR) | (var_src < K_MIN_VAR)
+    denom = jnp.sqrt(jnp.maximum(var_ref * var_src, 1e-30))
+    ncc = jnp.clip(1.0 - covar / denom, 0.0, cost_max)
+    out_ref[0] = jnp.where(oob | degenerate, cost_max, ncc)
+
+
+def _pad_to(a, mults, fill=0.0):
+    pads = []
+    for dim, m in zip(a.shape, mults):
+        pads.append((0, (-dim) % m if m else 0))
+    if not any(p[1] for p in pads):
+        return a
+    return jnp.pad(a, pads, constant_values=fill)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "cost_max", "interpret"))
+def ncc_eval_pallas(
+    refside: NCCRefSide,
+    src_imgs: Array,     # (S, Hp, Wp) — Hp % 8 == 0, Wp % 128 == 0
+    src_widths: Array,   # (S,) float valid extents
+    src_heights: Array,
+    A: Array,            # (S, 3, 3)
+    b: Array,            # (S, 3)
+    K_ref: Array,        # (3, 3)
+    plane: Array,        # (R, C, 4)
+    x: Array, y: Array,  # (R, C) global pixel coordinates
+    offsets: Tuple[Tuple[int, int], ...],
+    cost_max: float = 2.0,
+    interpret: bool = False,
+) -> Array:
+    """Drop-in replacement for ops.ncc.ncc_eval on 2D pixel sets.
+
+    Returns (S, R, C) bilateral-ZNCC costs. ``src_imgs`` must be padded to
+    (8, 128) row/col multiples (build_solve_data does this); valid extents
+    come from src_widths/heights as usual.
+    """
+    S, Hp, Wp = src_imgs.shape
+    assert Hp % 8 == 0 and Wp % TC == 0, (Hp, Wp)
+    R, C = x.shape
+    T = len(offsets)
+
+    pad2 = lambda a: _pad_to(a, (TR, TC))
+    xP = pad2(x)
+    yP = pad2(y)
+    Rp, Cp = xP.shape
+    w_ = _pad_to(refside.w, (0, TR, TC))
+    wr_ = _pad_to(refside.wr, (0, TR, TC))
+    invw = pad2(refside.inv_w)
+    mref = pad2(refside.m_ref)
+    varref = pad2(refside.var_ref)
+    # padded pixels: plane w=1 avoids 0-division; their cost is cropped
+    planeP = jnp.moveaxis(
+        _pad_to(jnp.moveaxis(plane, -1, 0), (0, TR, TC)), 0, -1)
+    planeP = planeP.at[..., 3].set(
+        jnp.where(planeP[..., 3] == 0.0, 1.0, planeP[..., 3]))
+    planeP = jnp.moveaxis(planeP, -1, 0)  # (4, Rp, Cp)
+
+    ab = jnp.concatenate([A.reshape(S, 9), b.reshape(S, 3)], axis=1)
+    kinvt = jnp.swapaxes(geo.K_inv_pinhole(K_ref), -1, -2).reshape(1, 9)
+    wh = jnp.stack([src_widths, src_heights], axis=1).astype(jnp.float32)
+
+    grid = (Rp // TR, Cp // TC, S)
+    tile_map = lambda ty, tx, s_: (ty, tx)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, offsets=tuple(offsets),
+                          n_src_rows=Hp, n_src_cols=Wp, cost_max=cost_max),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ab
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # kinvt
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # wh
+            pl.BlockSpec((T, TR, TC), lambda ty, tx, s_: (0, ty, tx),
+                         memory_space=pltpu.VMEM),   # w
+            pl.BlockSpec((T, TR, TC), lambda ty, tx, s_: (0, ty, tx),
+                         memory_space=pltpu.VMEM),   # wr
+            pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, TR, TC), lambda ty, tx, s_: (0, ty, tx),
+                         memory_space=pltpu.VMEM),   # plane
+            pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),  # y
+            pl.BlockSpec(memory_space=pltpu.ANY),    # src (HBM)
+        ],
+        out_specs=pl.BlockSpec((1, TR, TC), lambda ty, tx, s_: (s_, ty, tx),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, Rp, Cp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, Wp), jnp.float32),        # slab
+            pltpu.VMEM((T, TR, TC), jnp.float32),    # vals
+            pltpu.VMEM((T, TR, TC), jnp.int32),      # g0
+            pltpu.VMEM((T, TR, TC), jnp.int32),      # g1
+            pltpu.VMEM((T, TR, TC), jnp.float32),    # fx
+            pltpu.VMEM((T, TR, TC), jnp.int32),      # y0
+            pltpu.VMEM((T, TR, TC), jnp.float32),    # fy
+            pltpu.SMEM((T, 4), jnp.int32),           # per-tap scan ranges
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(ab, kinvt, wh, w_, wr_, invw, mref, varref, planeP, xP, yP, src_imgs)
+    return out[:, :R, :C]

@@ -307,10 +307,25 @@ def _band_step(
                           params.sigma_spatial, params.sigma_color,
                           pack_phase=phase)
 
-    def ncc(plane):
+    sampler = params.sampler
+    if sampler == "auto":
+        sampler = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    def ncc_xla(plane):
         return ncc_eval(refside, data.src_imgs, data.src_widths,
                         data.src_heights, data.A, data.b, data.K_ref,
                         plane, x_p, y_p, offsets, params.cost_max)
+
+    if sampler == "pallas":
+        from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas
+
+        def ncc(plane):
+            return ncc_eval_pallas(
+                refside, data.src_imgs, data.src_widths, data.src_heights,
+                data.A, data.b, data.K_ref, plane, x_p, y_p,
+                tuple(offsets), params.cost_max)
+    else:
+        ncc = ncc_xla
 
     def gcost(plane):
         return geom_consistency_cost(
@@ -466,13 +481,16 @@ def _band_step(
 
     trial_d = [depth_rand, depth_now, depth_rand, depth_now, depth_pert]
     trial_n = [normal_now, normal_rand, normal_rand, normal_pert, normal_now]
+    # trials with per-pixel *random depth* project incoherently — the Pallas
+    # slab-scan sampler degrades there, so they keep the XLA gather path
+    trial_scattered = [True, False, True, False, False]
 
     if prior:
         prior_depth_f = geo.depth_from_plane(data.K_ref, prior_planes_p, x_p, y_p)
 
-    for d_i, n_i in zip(trial_d, trial_n):
+    for d_i, n_i, scat in zip(trial_d, trial_n, trial_scattered):
         plane_i = geo.plane_from_depth_normal(data.K_ref, x_p, y_p, d_i, n_i)
-        c_v = ncc(plane_i)
+        c_v = (ncc_xla if scat else ncc)(plane_i)
         g_v = gcost(plane_i) if geom else None
         t_cost, t_geom = _weighted_total(c_v, weights, weight_norm, g_v,
                                          params.geom_weight)

@@ -45,9 +45,17 @@ class PatchMatchParams:
     # reference's refinement always overwrites the prior-guided random sample
     # (missing `else`, PatchMatch.cu:660-663); True reproduces that behavior.
     legacy_prior_refinement: bool = True
-    # rows per processing band; 0 = whole image in one band. Banding bounds
-    # peak memory of the (candidates x views x H x W) cost tensors.
+    # rows per processing band; 0 = automatic (auto_band_rows). Banding
+    # bounds peak memory of the (candidates x views x H x W) cost tensors.
     band_rows: int = 0
+    # Source-sampling implementation for the NCC hot loop:
+    #   "auto"   — Pallas kernel on TPU, XLA gathers elsewhere;
+    #   "pallas" — force the Pallas kernel (ops/pallas_ncc.py);
+    #   "xla"    — force XLA gathers everywhere.
+    # Random-depth hypothesis fields (init + 2 refinement trials) always use
+    # the XLA path: they have no spatial coherence for the kernel's
+    # slab-scan to exploit.
+    sampler: str = "auto"
 
     @property
     def ncc_taps(self) -> int:

@@ -73,9 +73,17 @@ def build_solve_data(
     ref = cameras.view(0)
     A, b = geo.homography_terms(ref.K, ref.R, ref.C,
                                 cameras.K[1:], cameras.R[1:], cameras.C[1:])
+    # Pad the source stack to (8, 128)-multiples: the Pallas sampling kernel
+    # DMAs aligned 8-row slabs and gathers within 128-lane blocks
+    # (ops/pallas_ncc.py); valid extents still come from the cameras.
+    src = images[1:]
+    pad_h = (-src.shape[1]) % 8
+    pad_w = (-src.shape[2]) % 128
+    if pad_h or pad_w:
+        src = jnp.pad(src, ((0, 0), (0, pad_h), (0, pad_w)))
     return SolveData(
         ref_img=images[0],
-        src_imgs=images[1:],
+        src_imgs=src,
         src_widths=cameras.width[1:],
         src_heights=cameras.height[1:],
         K_ref=ref.K, R_ref=ref.R, t_ref=ref.t, C_ref=ref.C,
