@@ -153,4 +153,9 @@ def generate_sky_masks(pipeline, log=print, model_dir: str = SKY_MODEL_DIR):
                     (prob * 255.0).astype(np.uint8))
         cv2.imwrite(os.path.join(d, "skymask_refine.jpg"),
                     mask.astype(np.uint8) * 255)
+        # green-overlay visualization (image_mask_fuse,
+        # SkyRegionDetect.cpp:462-476, written at PatchMatch.cpp:50-53)
+        fuse = np.asarray(rec.color, np.uint8).copy()
+        fuse[mask] = (0, 255, 0)
+        cv2.imwrite(os.path.join(d, "skymask_fuse.jpg"), fuse)
         log(f"sky mask {s.ref_id:08d}: {mask.mean() * 100:.1f}% sky")

@@ -37,6 +37,7 @@ from mpmvs_tpu.prior import build_planar_prior, draw_triangulation
 from mpmvs_tpu.solver import SolveResult, solve_view
 from mpmvs_tpu.fusion import run_fusion
 from mpmvs_tpu.utils import visualize
+from mpmvs_tpu.utils.trace import StageTimer, device_sync
 
 
 @dataclasses.dataclass
@@ -94,6 +95,9 @@ class Pipeline:
         self.key = jax.random.PRNGKey(config.seed)
         self.scenes: List[Scene] = []
         self.views: Dict[int, ViewRecord] = {}
+        # per-stage tracing (SURVEY.md §5); set MPMVS_PROFILE_DIR for XLA
+        # device traces on top of the wall-clock spans (utils/trace.py)
+        self.timer = StageTimer()
 
     # ---------------- data ----------------
 
@@ -151,22 +155,28 @@ class Pipeline:
             src_depths = jnp.asarray(_pad_stack(
                 [np.asarray(self.views[v].result.depth)
                  for v in scene.src_ids[1:]], (H, W)))
-            res = solve_view(images, cams, self._next_key(), self.params,
-                             "geom", warm=_pad_result(warm, H, W),
-                             src_depths=src_depths)
+            with self.timer.span("solve_geom"):
+                res = solve_view(images, cams, self._next_key(), self.params,
+                                 "geom", warm=_pad_result(warm, H, W),
+                                 src_depths=src_depths)
+                device_sync(res.depth)
         else:
-            res = solve_view(images, cams, self._next_key(), self.params,
-                             "photometric")
+            with self.timer.span("solve_photometric"):
+                res = solve_view(images, cams, self._next_key(), self.params,
+                                 "photometric")
+                device_sync(res.depth)
         res = _crop_result(res, h, w)
 
         if prior:
             ref_cam = rec.camera
             geom_cost = np.asarray(res.geom_cost) if geom else None
-            pr = build_planar_prior(
-                np.asarray(res.depth), np.asarray(res.cost),
-                np.asarray(ref_cam.K),
-                float(ref_cam.depth_min) * 0.6, float(ref_cam.depth_max) * 1.2,
-                geom_cost=geom_cost)
+            with self.timer.span("prior_build"):
+                pr = build_planar_prior(
+                    np.asarray(res.depth), np.asarray(res.cost),
+                    np.asarray(ref_cam.K),
+                    float(ref_cam.depth_min) * 0.6,
+                    float(ref_cam.depth_max) * 1.2,
+                    geom_cost=geom_cost)
             if pr is not None:
                 import cv2
                 cv2.imwrite(os.path.join(self.result_dir(scene.ref_id),
@@ -175,14 +185,17 @@ class Pipeline:
                 if self.config.save_prior_dmb:
                     self._save_prior(scene.ref_id, pr, (h, w))
                 geom_prior = geom and self.config.geom_prior_consistency
-                res2 = solve_view(
-                    images, cams, self._next_key(), self.params,
-                    "geom_prior" if geom_prior else "prior",
-                    warm=_pad_result(res, H, W),
-                    src_depths=src_depths if geom_prior else None,
-                    prior_planes=jnp.asarray(_pad_stack([pr.planes], (H, W, 4))[0]),
-                    prior_mask=jnp.asarray(_pad_stack(
-                        [pr.mask.astype(np.float32)], (H, W))[0] > 0))
+                with self.timer.span("solve_prior"):
+                    res2 = solve_view(
+                        images, cams, self._next_key(), self.params,
+                        "geom_prior" if geom_prior else "prior",
+                        warm=_pad_result(res, H, W),
+                        src_depths=src_depths if geom_prior else None,
+                        prior_planes=jnp.asarray(
+                            _pad_stack([pr.planes], (H, W, 4))[0]),
+                        prior_mask=jnp.asarray(_pad_stack(
+                            [pr.mask.astype(np.float32)], (H, W))[0] > 0))
+                    device_sync(res2.depth)
                 res = _crop_result(res2, h, w)
 
         rec.result = res
@@ -321,14 +334,20 @@ class Pipeline:
                         and self.load_view_result(s.ref_id)):
                     continue
                 self.process_view(s, geom=geom, prior=prior, log=log)
-                self.save_view(s.ref_id)
+                with self.timer.span("checkpoint"):
+                    self.save_view(s.ref_id)
             self._mark_pass_done(tag)
 
         # sky masks (main.cpp:43-47)
         if cfg.sky_seg:
-            self._compute_sky_masks(log)
+            with self.timer.span("sky_masks"):
+                self._compute_sky_masks(log)
 
-        return self.fuse(log=log)
+        ply = self.fuse(log=log)
+        log(self.timer.summary())
+        self.timer.dump_json(os.path.join(cfg.output_folder, "MPMVS",
+                                          "timing.json"))
+        return ply
 
     def _compute_sky_masks(self, log=print):
         from mpmvs_tpu.models.sky import generate_sky_masks
@@ -358,9 +377,10 @@ class Pipeline:
                     for s in estimable if s.ref_id in remap]
         cams = CameraStack.stack([self.views[i].camera for i in ids])
         t0 = time.time()
-        pts, nrm, col = run_fusion(depths, normals, colors, cams, scenes_r,
-                                   use_dynamic=cfg.use_dynamic_consistency,
-                                   sky_masks=sky)
+        with self.timer.span("fusion"):
+            pts, nrm, col = run_fusion(depths, normals, colors, cams, scenes_r,
+                                       use_dynamic=cfg.use_dynamic_consistency,
+                                       sky_masks=sky)
         log(f"fusion: {len(pts)} points in {time.time() - t0:.1f}s")
         out_dir = os.path.join(cfg.output_folder, "MPMVS")
         os.makedirs(out_dir, exist_ok=True)

@@ -1,0 +1,61 @@
+"""Compile-time memory regression guard (VERDICT r1, weak #9).
+
+Round 1's bench OOM'd a 16 GB chip at 1600x1080x10src because nothing in the
+suite ever compiled a large shape: the biggest test image was 96x128. This
+test lowers the full photometric solve at the reference operating point —
+3200x2130 with 20 source views (reference config/config.yaml:5,17,
+src/PatchMatch.cpp:893-925) — and asserts XLA's planned temp + argument
+allocation fits a single v5e chip's HBM with headroom.
+
+Compile-only: nothing is executed, no scene data is materialized (arguments
+are lowered from ShapeDtypeStructs). The CPU backend's estimate differs from
+the TPU's in layout padding but tracks the same dominant temporaries — the
+round-1 failure mode (dozens of ~205 MB (S, H, W, 3) homography fields) is
+exactly what this catches.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpmvs_tpu.camera import Camera, CameraStack
+from mpmvs_tpu.params import PatchMatchParams
+from mpmvs_tpu.solver import solve_view_impl
+
+HEIGHT, WIDTH, NUM_SRC = 2130, 3200, 20
+# v5e HBM is 16 GB; leave headroom for the XLA runtime, program code, and
+# layout-padding differences between the CPU estimate and the TPU plan.
+HBM_BUDGET_BYTES = 12 * 1024**3
+
+
+def _camera_stack(n_views):
+    cams = []
+    for i in range(n_views):
+        K = np.array([[2600.0, 0, WIDTH / 2], [0, 2600.0, HEIGHT / 2],
+                      [0, 0, 1]], np.float32)
+        R = np.eye(3, dtype=np.float32)
+        t = np.array([0.1 * i, 0.0, 0.0], np.float32)
+        cams.append(Camera.create(K=K, R=R, t=t, width=WIDTH, height=HEIGHT,
+                                  depth_min=2.0, depth_max=10.0))
+    return CameraStack.stack(cams)
+
+
+def test_photometric_solve_fits_one_chip_hbm():
+    cameras = _camera_stack(NUM_SRC + 1)
+    params = PatchMatchParams()
+
+    images = jax.ShapeDtypeStruct((NUM_SRC + 1, HEIGHT, WIDTH), jnp.float32)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    lowered = jax.jit(
+        solve_view_impl, static_argnames=("params", "mode"),
+    ).lower(images, cameras, key, params, mode="photometric")
+    stats = lowered.compile().memory_analysis()
+
+    planned = stats.temp_size_in_bytes + stats.argument_size_in_bytes \
+        + stats.output_size_in_bytes
+    assert planned < HBM_BUDGET_BYTES, (
+        f"planned allocation {planned / 1e9:.2f} GB exceeds the "
+        f"{HBM_BUDGET_BYTES / 1e9:.0f} GB single-chip budget at "
+        f"{WIDTH}x{HEIGHT}x{NUM_SRC}src "
+        f"(temp={stats.temp_size_in_bytes / 1e9:.2f} GB)")
