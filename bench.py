@@ -33,6 +33,7 @@ HEIGHT = int(os.environ.get("BENCH_HEIGHT", 2130))
 WIDTH = int(os.environ.get("BENCH_WIDTH", 3200))
 NUM_VIEWS = int(os.environ.get("BENCH_VIEWS", 11))  # 1 ref + 10 sources
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+SAMPLER = os.environ.get("BENCH_SAMPLER", "auto")  # auto | pallas | xla
 
 # Chip peak specs for the roofline (public numbers).
 CHIP_SPECS = {
@@ -79,7 +80,7 @@ def main():
 
     scene = make_plane_scene(num_views=NUM_VIEWS, height=HEIGHT, width=WIDTH,
                              seed=0)
-    params = PatchMatchParams()
+    params = PatchMatchParams(sampler=SAMPLER)
     images = jnp.asarray(scene.images)
     key = jax.random.PRNGKey(0)
 

@@ -80,7 +80,7 @@ def make_plane_scene(
     num_views: int = 3,
     height: int = 96,
     width: int = 128,
-    focal: float = 160.0,
+    focal: float = 0.0,   # 0 = auto: 1.25 * max(width, height) (~43 deg FOV)
     plane_normal: Tuple[float, float, float] = (0.0, 0.0, -1.0),
     plane_point: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     camera_distance: float = 4.0,
@@ -94,6 +94,11 @@ def make_plane_scene(
     axes; every rendered pixel and its depth are exact, making this a
     closed-form oracle for homography/NCC/solver tests.
     """
+    # A fixed focal at large resolutions means an absurd FOV whose border
+    # rays run parallel to the plane (denom->0 below): NaN depths poisoned
+    # the 3200x2130 bench scene. Default scales with resolution instead.
+    if not focal:
+        focal = 1.25 * max(width, height)
     rng = np.random.default_rng(seed)
     n = np.asarray(plane_normal, np.float64)
     n /= np.linalg.norm(n)

@@ -1,0 +1,72 @@
+"""Correctness of the Pallas source-sampling NCC kernel (ops/pallas_ncc.py)
+against the XLA reference path, run in Pallas interpret mode so the CPU
+suite exercises the kernel logic without TPU hardware.
+
+The kernel is the solver's TPU hot path (auto-dispatch in
+ops/propagation.py); before this test nothing executed it off-TPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpmvs_tpu import geometry as geo
+from mpmvs_tpu.ops.ncc import ncc_eval, ncc_refside
+from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas
+from mpmvs_tpu.params import PatchMatchParams
+from mpmvs_tpu.solver import build_solve_data
+from mpmvs_tpu.utils.synthetic import make_plane_scene
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = make_plane_scene(num_views=3, height=48, width=128, seed=7)
+    params = PatchMatchParams()
+    data = build_solve_data(jnp.asarray(scene.images), scene.cameras)
+    return scene, params, data
+
+
+def _eval_both(data, params, plane, x, y, offsets):
+    args = (data.src_imgs, data.src_widths, data.src_heights,
+            data.A, data.b, data.K_ref, plane, x, y)
+    r0, rows = int(y[0, 0]), plane.shape[0]
+    refside = ncc_refside(data.ref_img, r0, rows, offsets,
+                          params.sigma_spatial, params.sigma_color)
+    c_xla = ncc_eval(refside, *args, offsets, params.cost_max)
+    c_pal = ncc_eval_pallas(refside, *args, tuple(offsets), params.cost_max,
+                            interpret=True)
+    return np.asarray(c_xla), np.asarray(c_pal)
+
+
+def test_pallas_matches_xla_on_gt_plane(setup):
+    scene, params, data = setup
+    offsets = params.tap_offsets(0)
+    H, W = data.ref_img.shape
+    r0, rows = 12, 16
+    x, y = geo.pixel_grid(rows, W)
+    y = y + r0
+    gt_depth = jnp.asarray(scene.gt_depth[0][r0:r0 + rows])
+    n = jnp.concatenate([jnp.zeros((rows, W, 2)), -jnp.ones((rows, W, 1))], -1)
+    plane = geo.plane_from_depth_normal(data.K_ref, x, y, gt_depth, n)
+    c_xla, c_pal = _eval_both(data, params, plane, x, y, offsets)
+    assert c_xla.shape == c_pal.shape
+    # same costs up to float-accumulation order
+    np.testing.assert_allclose(c_pal, c_xla, atol=2e-4)
+
+
+def test_pallas_matches_xla_on_random_planes(setup):
+    """Incoherent planes: exercises clipping, oob masking and the
+    degenerate-variance branch across the full cost surface."""
+    scene, params, data = setup
+    offsets = params.tap_offsets(0)
+    H, W = data.ref_img.shape
+    r0, rows = 8, 16
+    x, y = geo.pixel_grid(rows, W)
+    y = y + r0
+    key = jax.random.PRNGKey(0)
+    from mpmvs_tpu.ops import random as pmrand
+    plane = pmrand.random_plane_field(key, data.K_ref, x, y,
+                                      data.depth_min, data.depth_max)
+    c_xla, c_pal = _eval_both(data, params, plane, x, y, offsets)
+    # oob/degenerate pixels must agree exactly (both cost_max)
+    np.testing.assert_allclose(c_pal, c_xla, atol=2e-4)
