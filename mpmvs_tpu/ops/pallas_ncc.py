@@ -127,7 +127,9 @@ def _kernel(
     # per-tap sample coordinates (static tap loop), sanitized + clipped;
     # per-tap slab / column-block ranges go to SMEM so the scan loops are
     # data-adaptive (cost follows the tile's actual projected footprint)
-    smin = jnp.int32(n_src_rows // 8 - 1)
+    n_slabs = n_src_rows // 8
+    n_blocks = n_src_cols // TC
+    smin = jnp.int32(n_slabs - 1)
     smax = jnp.int32(0)
     Wi = W.astype(jnp.int32)
     Hi = H.astype(jnp.int32)
@@ -157,12 +159,18 @@ def _kernel(
         vals_ref[t] = jnp.zeros((TR, TC), jnp.float32)
         # y1 = y0c + 1 clipped; slab range must cover both
         y1c = jnp.minimum(y0c + 1, Hi - 1)
-        t_slo = jnp.min(y0c) // 8
-        t_shi = jnp.max(y1c) // 8
+        # Defensive clamps on every scan bound: the bounds drive pl.ds DMA
+        # offsets, and an out-of-range value (e.g. from a miscompiled int
+        # vector->scalar reduction) would fault the whole TPU worker rather
+        # than raise. Clamped, the worst case is wasted slab reads.
+        clamp_s = lambda v: jnp.clip(v, 0, n_slabs - 1)
+        clamp_b = lambda v: jnp.clip(v, 0, n_blocks - 1)
+        t_slo = clamp_s(jnp.min(y0c) // 8)
+        t_shi = clamp_s(jnp.max(y1c) // 8)
         rng_ref[t, 0] = t_slo
         rng_ref[t, 1] = t_shi
-        rng_ref[t, 2] = jnp.min(g0) // TC
-        rng_ref[t, 3] = jnp.max(g1) // TC
+        rng_ref[t, 2] = clamp_b(jnp.min(g0) // TC)
+        rng_ref[t, 3] = clamp_b(jnp.max(g1) // TC)
         smin = jnp.minimum(smin, t_slo)
         smax = jnp.maximum(smax, t_shi)
 
