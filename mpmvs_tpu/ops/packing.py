@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-Array = "jax.Array"
-
 
 def pack_quincunx(F, phase: int):
     """(…, H, W) -> (…, H, W//2): keep pixels with (x + y) % 2 == phase.

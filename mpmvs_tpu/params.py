@@ -22,7 +22,7 @@ class PatchMatchParams:
 
     max_iterations: int = 3          # photometric iters per scale (PatchMatch.cpp:664)
     geom_iterations: int = 2         # iters in a geometric pass (PatchMatch.cpp:659)
-    num_samples: int = 6             # NCC taps per axis (6x6 = 36, PatchMatch.cu:341-373)
+    ncc_taps_per_axis: int = 6       # NCC taps per axis (6x6 = 36, PatchMatch.cu:341-373)
     sigma_spatial: float = 5.0       # bilateral weights (PatchMatch.h:54)
     sigma_color: float = 3.0         # (PatchMatch.h:55)
     top_k: int = 4                   # initial view selection (PatchMatch.h:56)
@@ -59,7 +59,7 @@ class PatchMatchParams:
 
     @property
     def ncc_taps(self) -> int:
-        return self.num_samples * self.num_samples
+        return self.ncc_taps_per_axis * self.ncc_taps_per_axis
 
     def tap_offsets(self, scale: int):
         """Static window offsets for one scale: step 2*2^scale, 6 taps per
@@ -68,7 +68,7 @@ class PatchMatchParams:
         step = 2 * (2 ** scale)
         radius = 5 * step // 2
         axis = list(range(-radius, radius + 1, step))
-        assert len(axis) == self.num_samples
+        assert len(axis) == self.ncc_taps_per_axis
         return [(dx, dy) for dx in axis for dy in axis]
 
 

@@ -80,7 +80,7 @@ def make_plane_scene(
     num_views: int = 3,
     height: int = 96,
     width: int = 128,
-    focal: float = 0.0,   # 0 = auto: 1.25 * max(width, height) (~43 deg FOV)
+    focal: float = 0.0,   # 0 = auto: max(160, 1.25 * max(width, height))
     plane_normal: Tuple[float, float, float] = (0.0, 0.0, -1.0),
     plane_point: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     camera_distance: float = 4.0,
@@ -96,9 +96,11 @@ def make_plane_scene(
     """
     # A fixed focal at large resolutions means an absurd FOV whose border
     # rays run parallel to the plane (denom->0 below): NaN depths poisoned
-    # the 3200x2130 bench scene. Default scales with resolution instead.
+    # the 3200x2130 bench scene. Scale with resolution, but never below the
+    # historical 160 the small test oracles were tuned against (<=128 px
+    # scenes keep their exact pre-change geometry).
     if not focal:
-        focal = 1.25 * max(width, height)
+        focal = max(160.0, 1.25 * max(width, height))
     rng = np.random.default_rng(seed)
     n = np.asarray(plane_normal, np.float64)
     n /= np.linalg.norm(n)

@@ -108,6 +108,9 @@ class StageTimer:
         return {name: s.as_dict() for name, s in self.stats.items()}
 
     def dump_json(self, path: str):
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(path, "w") as f:
             json.dump({"wall_s": round(time.perf_counter() - self._t_start, 4),
                        "stages": self.as_dict()}, f, indent=1)
