@@ -85,15 +85,31 @@ def segment_sky(bgr: np.ndarray, model_dir: str = SKY_MODEL_DIR) -> np.ndarray:
 def bilateral_refine(bgr, prob, half_window: int = 18,
                      sigma_spatial: float = 2.0 * 6.0 * 6.0,
                      sigma_color: float = 2.0 * 2.0 * 2.0,
-                     threshold: float = 0.6):
+                     threshold: float = 0.6,
+                     use_pallas: Optional[bool] = None):
     """Joint bilateral mask refinement + threshold -> bool mask.
 
     Re-derivation of Pixel_bilateral_filter (SkyRegionDetect.cu:3-35):
     w = exp(-|dx,dy| / sigma_spatial - |dBGR| / sigma_color), taps outside
     the image excluded, output = (weighted prob > threshold).
+
+    On TPU the 37x37 window runs as a Pallas band kernel
+    (ops/pallas_bilateral.py — SURVEY §2.4 requires a kernel here); the
+    jnp.roll scan below is the portable oracle used everywhere else.
     """
     import jax
     import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas is None:
+        use_pallas = on_tpu
+    if use_pallas:
+        from mpmvs_tpu.ops.pallas_bilateral import bilateral_refine_pallas
+        refined = bilateral_refine_pallas(
+            jnp.asarray(bgr, jnp.float32), jnp.asarray(prob, jnp.float32),
+            radius=half_window, sigma_spatial=sigma_spatial,
+            sigma_color=sigma_color, interpret=not on_tpu)
+        return np.asarray(refined) > threshold
 
     bgr = jnp.asarray(bgr, jnp.float32)
     prob = jnp.asarray(prob, jnp.float32)

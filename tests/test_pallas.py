@@ -70,3 +70,32 @@ def test_pallas_matches_xla_on_random_planes(setup):
     c_xla, c_pal = _eval_both(data, params, plane, x, y, offsets)
     # oob/degenerate pixels must agree exactly (both cost_max)
     np.testing.assert_allclose(c_pal, c_xla, atol=2e-4)
+
+
+class TestBilateralKernel:
+    """ops/pallas_bilateral.py vs the portable jnp.roll implementation."""
+
+    def test_matches_scan_oracle(self):
+        from mpmvs_tpu.models.sky import bilateral_refine
+        from mpmvs_tpu.ops.pallas_bilateral import bilateral_refine_pallas
+
+        rng = np.random.default_rng(3)
+        H, W = 52, 150
+        bgr = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+        prob = rng.uniform(0, 1, (H, W)).astype(np.float32)
+        ref_mask = bilateral_refine(bgr, prob, use_pallas=False)
+        out = np.asarray(bilateral_refine_pallas(
+            jnp.asarray(bgr), jnp.asarray(prob), interpret=True))
+        assert ((out > 0.6) != ref_mask).mean() < 0.002
+
+    def test_edge_exclusion(self):
+        """Out-of-image taps carry zero weight: a uniform mask must stay
+        exactly uniform at the borders (no dark-corner artifacts)."""
+        from mpmvs_tpu.ops.pallas_bilateral import bilateral_refine_pallas
+
+        H, W = 24, 140
+        bgr = np.full((H, W, 3), 128.0, np.float32)
+        prob = np.full((H, W), 0.7, np.float32)
+        out = np.asarray(bilateral_refine_pallas(
+            jnp.asarray(bgr), jnp.asarray(prob), interpret=True))
+        np.testing.assert_allclose(out, 0.7, atol=1e-5)
