@@ -12,12 +12,14 @@ Design:
     process-local numpy batches; global arrays are assembled with
     ``jax.make_array_from_callback`` so each host only materializes its own
     shards on device;
-  * all processes execute the same jit'd sharded solves (SPMD);
-  * each process writes .dmb checkpoints for the views whose batch rows it
-    can address; fusion runs on process 0 from the checkpoints (the
-    workspace/output folder is assumed shared — true for pod slices with
-    NFS/GCS; a collective fusion gather is the alternative for disjoint
-    filesystems).
+  * all processes execute the same jit'd sharded solves (SPMD), including
+    the planar-prior sub-runs: each process triangulates its addressable
+    views host-side and the prior arrays are re-assembled as global arrays;
+  * each process writes .dmb checkpoints for its addressable views (resume
+    path); for fusion the final results are all-gathered over DCN to
+    process 0, so a shared filesystem is NOT required;
+  * sky masks (optional) are computed on process 0 right before fusion —
+    every process loads the full workspace, so the images are present.
 
 Launch (one command per host/process):
     python -m mpmvs_tpu.parallel.multihost \
@@ -121,9 +123,101 @@ class MultiHostPipeline:
         else:  # single-process fallback
             pass
 
+    def _addressable_rows(self, arr):
+        """Sorted global row indices of `arr` addressable on this process."""
+        owned = set()
+        for s in arr.addressable_shards:
+            idx = s.index[0]
+            lo = (idx.start or 0) if isinstance(idx, slice) else int(idx)
+            n = s.data.shape[0] if isinstance(idx, slice) else 1
+            owned.update(range(lo, lo + n))
+        return sorted(owned)
+
+    def _global_from_rows(self, rows: dict, shape, dtype):
+        """Assemble a ("view",)-sharded global array from per-row host data
+        (every addressable row must be present in ``rows``)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.inner.mesh, P("view"))
+
+        def cb(idx):
+            sl = idx[0]
+            lo = sl.start or 0
+            hi = sl.stop if sl.stop is not None else shape[0]
+            return np.stack([rows[i] for i in range(lo, hi)]).astype(dtype)
+
+        return jax.make_array_from_callback(shape, sharding, cb)
+
+    def _prior_subrun_mh(self, batch, res, keys, geom, src_d, plog):
+        """Multi-host planar-prior sub-run: each process triangulates the
+        views whose result rows it holds (host-side Delaunay, tiny), prior
+        arrays are assembled as ("view",)-sharded global arrays, and one
+        SPMD prior-regularized solve runs over the full mesh — parity with
+        ShardedPipeline._prior_subrun (single-host)."""
+        import cv2
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        from mpmvs_tpu.parallel import view_sharding as vs
+        from mpmvs_tpu.prior import build_planar_prior, draw_triangulation
+
+        inner = self.inner
+        Np, _, H, W = batch.images.shape
+        N = len(batch.ref_ids)
+        plane_rows, mask_rows = {}, {}
+        has_local = np.zeros((Np,), bool)
+        for i in self._addressable_rows(res.depth):
+            plane_rows[i] = np.zeros((H, W, 4), np.float32)
+            mask_rows[i] = np.zeros((H, W), bool)
+            if i >= N:
+                continue  # batch padding row
+            vid = batch.ref_ids[i]
+            h, w = batch.orig_sizes[i]
+            cam = inner.views[vid].camera
+            depth_i = self._fetch_row(res.depth, i)
+            cost_i = self._fetch_row(res.cost, i)
+            geomc_i = self._fetch_row(res.geom_cost, i) if geom else None
+            pr = build_planar_prior(
+                depth_i[:h, :w], cost_i[:h, :w], np.asarray(cam.K),
+                float(cam.depth_min) * 0.6, float(cam.depth_max) * 1.2,
+                geom_cost=geomc_i[:h, :w] if geom else None)
+            if pr is None:
+                continue
+            plane_rows[i][:h, :w] = pr.planes
+            mask_rows[i][:h, :w] = pr.mask
+            has_local[i] = True
+            cv2.imwrite(os.path.join(inner.result_dir(vid),
+                                     "triangulation.png"),
+                        draw_triangulation(inner.views[vid].image, pr))
+        # global agreement on which views have a prior. Align processes
+        # first: the allgather creates a fresh gloo/DCN communicator whose
+        # rendezvous has a ~30 s deadline, while the preceding per-process
+        # work (solve completion, triangulation) is unsynchronized.
+        self._barrier("mpmvs_prior_gather")
+        has = multihost_utils.process_allgather(has_local).reshape(
+            -1, Np).max(axis=0).astype(bool)
+        if not has.any():
+            return res
+        planes = self._global_from_rows(plane_rows, (Np, H, W, 4), np.float32)
+        masks = self._global_from_rows(mask_rows, (Np, H, W), bool)
+        geom_prior = geom and inner.config.geom_prior_consistency
+        res2 = vs.solve_scenes_sharded(
+            batch.images, batch.cameras, keys, inner.params,
+            "geom_prior" if geom_prior else "prior", inner.mesh,
+            warm=res, src_depths=src_d if geom_prior else None,
+            prior_planes=planes, prior_mask=masks)
+        keep = jnp.asarray(has)
+        pick = jax.jit(lambda r2, r1: jax.tree.map(
+            lambda a2, a1: jnp.where(
+                keep.reshape((Np,) + (1,) * (a2.ndim - 1)), a2, a1), r2, r1))
+        plog(f"prior sub-run: {int(has.sum())}/{N} views triangulated")
+        return pick(res2, res)
+
     def run(self, log=print, resume: bool = False):
         import jax
         import jax.numpy as jnp
+        from jax.experimental import multihost_utils
         from mpmvs_tpu.parallel import view_sharding as vs
         from mpmvs_tpu.solver import SolveResult
 
@@ -165,20 +259,38 @@ class MultiHostPipeline:
                     batch.images, batch.cameras, keys(2 * pi), inner.params,
                     "geom", inner.mesh, warm=res, src_depths=src_d)
             else:
+                src_d = None
                 res = vs.solve_scenes_sharded(batch.images, batch.cameras,
                                               keys(2 * pi), inner.params,
                                               "photometric", inner.mesh)
-            # (prior sub-runs need host-side Delaunay per view; supported on
-            # the single-host sharded path — multi-host keeps photometric +
-            # geometric passes, the embarrassingly-parallel bulk)
+            if prior:
+                res = self._prior_subrun_mh(batch, res, keys(2 * pi + 1),
+                                            geom, src_d, plog)
             self._store_addressable(batch, res, inner)
             plog(f"pass {tag} done")
 
-        self._barrier("mpmvs_passes_done")  # all .dmb checkpoints on disk
+        # Collective result gather: every process contributes its shards,
+        # process 0 ends up with the full stacked results in host RAM — no
+        # shared filesystem required for fusion (the per-process .dmb writes
+        # above remain as resume checkpoints). Cost: one DCN all-gather of
+        # (Np, H, W) x4-ish — small next to a pass's solve time. Barrier
+        # first: fresh communicator rendezvous needs bounded skew (above).
+        self._barrier("mpmvs_passes_done")
+        full = jax.tree.map(
+            lambda a: multihost_utils.process_allgather(a, tiled=True), res)
         ply = None
         if pid == 0:
-            ok = all(inner.load_view_result(v) for v in batch.ref_ids)
-            assert ok, "missing .dmb checkpoints at fusion time"
+            for i, vid in enumerate(batch.ref_ids):
+                h, w = batch.orig_sizes[i]
+                inner.views[vid].result = SolveResult(
+                    depth=np.asarray(full.depth[i])[:h, :w],
+                    normal=np.asarray(full.normal[i])[:h, :w],
+                    cost=np.asarray(full.cost[i])[:h, :w],
+                    geom_cost=np.asarray(full.geom_cost[i])[:h, :w])
+            if inner.config.sky_seg:
+                # all images are loaded on every process; masks are cheap
+                # 384x384 inferences — run them where fusion runs
+                inner._compute_sky_masks(plog)
             ply = inner.fuse(log=plog)
         # hold every process until fusion finishes so they exit together
         # (the runtime's shutdown barrier expects all tasks within its
@@ -235,6 +347,11 @@ def main(argv=None) -> int:
     p.add_argument("--geom-iterations", type=int, default=None)
     p.add_argument("--preset", choices=["full", "fast"], default="full")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--planar-prior", action="store_true",
+                   help="enable the planar-prior schedule (main.cpp:20-41)")
+    p.add_argument("--geom-planar-prior", action="store_true",
+                   help="prior sub-runs inside geometric passes")
+    p.add_argument("--sky-seg", action="store_true")
     args = p.parse_args(argv)
 
     initialize(args.coordinator, args.num_processes, args.process_id,
@@ -244,7 +361,9 @@ def main(argv=None) -> int:
 
     cfg = ConfigParams(input_folder=args.input,
                        output_folder=args.output or args.input,
-                       planar_prior=False, geom_planar_prior=False,
+                       planar_prior=args.planar_prior,
+                       geom_planar_prior=args.geom_planar_prior,
+                       sky_seg=args.sky_seg,
                        seed=args.seed)
     if args.geom_iterations is not None:
         cfg.geom_iterations = args.geom_iterations
