@@ -515,6 +515,71 @@ def _band_step(
     return plane_now, cost_now, geom_now, sel_now
 
 
+def _band_geometry(H: int, W: int, S: int, scale: int, geom: bool,
+                   band_rows: int):
+    """(halo, band height, band count, bottom padding) for a step."""
+    halo = step_halo(scale)
+    br = band_rows if band_rows > 0 else auto_band_rows(H, W, S, geom)
+    br = min(br - (br % 2), H) or H
+    n_bands = -(-H // br)
+    return halo, br, n_bands, n_bands * br - H
+
+
+def _pad_step_inputs(state: PatchMatchState, data: SolveData, halo: int,
+                     pad_b: int, prior: bool):
+    """Halo/band padding of the mutable state + per-step constants.
+
+    +inf cost beyond the image == invalid propagation source (matches the
+    whole-image path's shift fill); ref rows edge-replicate (CUDA clamp)."""
+    pad_rows = lambda a, top, bottom, **kw: jnp.pad(
+        a, [(top, bottom)] + [(0, 0)] * (a.ndim - 1), **kw)
+    out = dict(
+        cost_pad=pad_rows(state.cost, halo, halo + pad_b,
+                          mode="constant", constant_values=jnp.inf),
+        plane_pad=pad_rows(state.plane, halo, halo + pad_b, mode="constant"),
+        sel_pad=pad_rows(state.sel, halo, halo + pad_b, mode="constant"),
+        ref_pad=pad_rows(data.ref_img, halo, halo + pad_b, mode="edge"),
+        geom_pad=pad_rows(state.geom_cost, 0, pad_b, mode="constant"),
+    )
+    if prior:
+        out["prior_planes_pad"] = pad_rows(data.prior_planes, 0, pad_b,
+                                           mode="constant")
+        out["prior_mask_pad"] = pad_rows(data.prior_mask, 0, pad_b,
+                                         mode="constant")
+    return out
+
+
+def _band_call(pads: dict, data: SolveData, params, scale: int,
+               iteration: Array, phase: int, key_b: Array, geom: bool,
+               prior: bool, halo: int, br: int, y0: Array):
+    """One band's update from the padded buffers (shared by the fused and
+    stepped dispatch paths)."""
+    Hs = br + 2 * halo
+    sl = lambda a, h: jax.lax.dynamic_slice(
+        a, (y0,) + (0,) * (a.ndim - 1), (h,) + a.shape[1:])
+    return _band_step(
+        data, params, scale, iteration, phase, key_b, geom, prior, halo, br,
+        y0, sl(pads["cost_pad"], Hs), sl(pads["plane_pad"], Hs),
+        sl(pads["sel_pad"], Hs), sl(pads["ref_pad"], Hs),
+        sl(pads["geom_pad"], br),
+        sl(pads["prior_planes_pad"], br) if prior else None,
+        sl(pads["prior_mask_pad"], br) if prior else None)
+
+
+def _merge_bands(state: PatchMatchState, phase: int, geom: bool,
+                 plane_p, cost_p, geom_p, sel_p) -> PatchMatchState:
+    """Scatter packed active-color results back into the dense state."""
+    unpack_vec = lambda P, like: jnp.moveaxis(
+        unpack_quincunx(jnp.moveaxis(P, -1, 0), phase,
+                        jnp.moveaxis(like, -1, 0)), 0, -1)
+    return PatchMatchState(
+        plane=unpack_vec(plane_p, state.plane),
+        cost=unpack_quincunx(cost_p, phase, state.cost),
+        geom_cost=unpack_quincunx(geom_p, phase, state.geom_cost) if geom else state.geom_cost,
+        sel=unpack_quincunx(sel_p, phase, state.sel),
+    )
+
+
 def checkerboard_step(
     state: PatchMatchState,
     data: SolveData,
@@ -533,46 +598,15 @@ def checkerboard_step(
     (0 = automatic). H and W must be even (the solver pads)."""
     H, W = state.cost.shape
     assert H % 2 == 0 and W % 2 == 0, (H, W)
-    halo = step_halo(scale)
     S = data.src_imgs.shape[0]
-
-    br = band_rows if band_rows > 0 else auto_band_rows(H, W, S, geom)
-    br = min(br - (br % 2), H) or H
-    n_bands = -(-H // br)
+    halo, br, n_bands, pad_b = _band_geometry(H, W, S, scale, geom, band_rows)
     Hb = n_bands * br
-    pad_b = Hb - H  # band padding below the image
-
-    pad_rows = lambda a, top, bottom, **kw: jnp.pad(
-        a, [(top, bottom)] + [(0, 0)] * (a.ndim - 1), **kw)
-    # +inf cost beyond the image == invalid propagation source (matches the
-    # whole-image path's shift fill); ref rows edge-replicate (CUDA clamp).
-    cost_pad = pad_rows(state.cost, halo, halo + pad_b,
-                        mode="constant", constant_values=jnp.inf)
-    plane_pad = pad_rows(state.plane, halo, halo + pad_b, mode="constant")
-    sel_pad = pad_rows(state.sel, halo, halo + pad_b, mode="constant")
-    ref_pad = pad_rows(data.ref_img, halo, halo + pad_b, mode="edge")
-    geom_pad = pad_rows(state.geom_cost, 0, pad_b, mode="constant")
-    if prior:
-        prior_planes_pad = pad_rows(data.prior_planes, 0, pad_b, mode="constant")
-        prior_mask_pad = pad_rows(data.prior_mask, 0, pad_b, mode="constant")
-
-    Hs = br + 2 * halo
+    pads = _pad_step_inputs(state, data, halo, pad_b, prior)
 
     def band_fn(b):
-        y0 = b * br
-        sl = lambda a, h, extra: jax.lax.dynamic_slice(
-            a, (y0,) + (0,) * (a.ndim - 1), (h,) + a.shape[1:])
-        cost_s = sl(cost_pad, Hs, 0)
-        plane_s = sl(plane_pad, Hs, 0)
-        sel_s = sl(sel_pad, Hs, 0)
-        ref_s = sl(ref_pad, Hs, 0)
-        geom_c = sl(geom_pad, br, 0)
-        pp_c = sl(prior_planes_pad, br, 0) if prior else None
-        pm_c = sl(prior_mask_pad, br, 0) if prior else None
-        return _band_step(data, params, scale, iteration, phase,
+        return _band_call(pads, data, params, scale, iteration, phase,
                           jax.random.fold_in(key, b), geom, prior, halo, br,
-                          y0, cost_s, plane_s, sel_s, ref_s, geom_c, pp_c,
-                          pm_c)
+                          b * br)
 
     if n_bands == 1:
         plane_p, cost_p, geom_p, sel_p = band_fn(jnp.int32(0))
@@ -585,12 +619,58 @@ def checkerboard_step(
         geom_p = geom_b.reshape(Hb, Wh)[:H]
         sel_p = sel_b.reshape(Hb, Wh)[:H]
 
-    unpack_vec = lambda P, like: jnp.moveaxis(
-        unpack_quincunx(jnp.moveaxis(P, -1, 0), phase,
-                        jnp.moveaxis(like, -1, 0)), 0, -1)
-    return PatchMatchState(
-        plane=unpack_vec(plane_p, state.plane),
-        cost=unpack_quincunx(cost_p, phase, state.cost),
-        geom_cost=unpack_quincunx(geom_p, phase, state.geom_cost) if geom else state.geom_cost,
-        sel=unpack_quincunx(sel_p, phase, state.sel),
-    )
+    return _merge_bands(state, phase, geom, plane_p, cost_p, geom_p, sel_p)
+
+
+# ---------------------------------------------------------------------------
+# Stepped dispatch: identical math, but padding / each band / the merge are
+# separate device executions driven from the host. Required on runtimes that
+# bound single-execution wall time (the tunneled bench chip kills executions
+# over ~1 minute — the "TPU worker crashed" of rounds 1-2 — and a full solve
+# in one program is minutes); also mirrors the reference's own granularity
+# of one CUDA kernel launch per color per iteration with a device sync
+# between them (PatchMatch.cu:1213-1217).
+# ---------------------------------------------------------------------------
+
+_pad_step_jit = jax.jit(_pad_step_inputs,
+                        static_argnames=("halo", "pad_b", "prior"))
+_band_call_jit = jax.jit(
+    _band_call,
+    static_argnames=("params", "scale", "phase", "geom", "prior", "halo",
+                     "br"))
+_merge_concat_jit = jax.jit(
+    lambda state, phase, geom, outs, H: _merge_bands(
+        state, phase, geom,
+        *(jnp.concatenate(leaf)[:H] for leaf in zip(*outs))),
+    static_argnames=("phase", "geom", "H"))
+
+
+def checkerboard_step_stepped(
+    state: PatchMatchState,
+    data: SolveData,
+    params,
+    scale: int,
+    iteration,
+    phase: int,
+    key: Array,
+    geom: bool,
+    prior: bool,
+    band_rows: int = 0,
+) -> PatchMatchState:
+    """checkerboard_step with one device execution per band (plus a pad and
+    a merge execution). Bit-identical schedule and per-band PRNG keys."""
+    H, W = state.cost.shape
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    S = data.src_imgs.shape[0]
+    halo, br, n_bands, pad_b = _band_geometry(H, W, S, scale, geom, band_rows)
+    pads = _pad_step_jit(state, data, halo=halo, pad_b=pad_b, prior=prior)
+    iteration = jnp.int32(iteration)
+    outs = []
+    for b in range(n_bands):
+        outs.append(_band_call_jit(
+            pads, data, params, scale=scale, iteration=iteration, phase=phase,
+            key_b=jax.random.fold_in(key, b), geom=geom, prior=prior,
+            halo=halo, br=br, y0=jnp.int32(b * br)))
+    if n_bands == 1:
+        return _merge_bands(state, phase, geom, *outs[0])
+    return _merge_concat_jit(state, phase, geom, outs, H=H)

@@ -56,6 +56,16 @@ class PatchMatchParams:
     # the XLA path: they have no spatial coherence for the kernel's
     # slab-scan to exploit.
     sampler: str = "auto"
+    # Execution granularity of solve_view:
+    #   "fused"   — the whole run is one XLA program (CPU tests, vmapped
+    #               batches, real pod chips);
+    #   "stepped" — host-driven per-band device executions (runtimes that
+    #               bound single-execution wall time, e.g. the tunneled
+    #               bench chip kills executions over ~1 min — the round-1/2
+    #               "TPU worker crashed"; also the reference's granularity,
+    #               PatchMatch.cu:1200-1244);
+    #   "auto"    — stepped on TPU, fused elsewhere.
+    dispatch: str = "auto"
 
     @property
     def ncc_taps(self) -> int:

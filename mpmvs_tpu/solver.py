@@ -143,32 +143,11 @@ def _initial_score(data: SolveData, params: PatchMatchParams,
 def _initial_state(data: SolveData, params: PatchMatchParams, key: Array,
                    mode: str, warm: Optional[SolveResult],
                    band_rows: int) -> PatchMatchState:
-    """InitializeScore equivalent (PatchMatch.cu:536-573)."""
+    """InitializeScore equivalent (PatchMatch.cu:536-573): random plane /
+    warm-start / perturbed-prior init (see _init_plane), then banded
+    initial scoring."""
     H, W = data.ref_img.shape
-    x, y = geo.pixel_grid(H, W)
-
-    if mode == "photometric":
-        plane = pmrand.random_plane_field(key, data.K_ref, x, y,
-                                          data.depth_min, data.depth_max)
-    else:
-        # warm start: stored maps are (world normal, depth) — convert back
-        # to (camera normal, plane offset) (PatchMatch.cu:563-571).
-        n_cam = geo.normal_world_to_cam(data.R_ref, warm.normal)
-        plane = geo.plane_from_depth_normal(data.K_ref, x, y, warm.depth, n_cam)
-        if mode in ("prior", "geom_prior"):
-            # masked, still-uncertain pixels restart from a perturbed prior
-            # plane (PatchMatch.cu:552-562): offset +-6%, normal +-0.06*pi.
-            k_d, k_n = jax.random.split(key)
-            pert = 0.02 * 3.0
-            w0 = data.prior_planes[..., 3]
-            w_pert = w0 * (1.0 + (jax.random.uniform(k_d, (H, W)) * 2.0 - 1.0) * pert)
-            n_pert = pmrand.perturbed_normal_field(
-                k_n, data.K_ref, x, y, data.prior_planes[..., :3],
-                pert * np.pi)
-            prior_plane = jnp.concatenate([n_pert, w_pert[..., None]], -1)
-            use_prior = data.prior_mask & (warm.cost >= 0.1)
-            plane = jnp.where(use_prior[..., None], prior_plane, plane)
-
+    plane = _init_plane(data, params, key, mode, warm)
     cost, sel = _initial_score(data, params, plane, band_rows)
     geom_cost = jnp.zeros((H, W), jnp.float32)
     return PatchMatchState(plane=plane, cost=cost, geom_cost=geom_cost, sel=sel)
@@ -285,8 +264,194 @@ def solve_view_impl(
                        geom_cost=crop(state.geom_cost))
 
 
-solve_view = jax.jit(solve_view_impl,
-                     static_argnames=("params", "mode", "state_sharding"))
+_solve_view_fused = jax.jit(solve_view_impl,
+                            static_argnames=("params", "mode",
+                                             "state_sharding"))
+
+
+# ---------------------------------------------------------------------------
+# Stepped dispatch (host-driven schedule; see propagation.py note): the same
+# math as solve_view_impl, but init bands / every half-iteration band / the
+# finalize run as separate bounded device executions. Needed on runtimes
+# that kill long single executions (the tunneled bench chip: ~1 min — the
+# "TPU worker crashed" of rounds 1-2 was this, not a kernel fault); also
+# matches the reference's per-kernel-launch granularity
+# (PatchMatch.cu:1200-1244).
+# ---------------------------------------------------------------------------
+
+
+def _init_plane(data: SolveData, params, key, mode: str,
+                warm: Optional[SolveResult]):
+    H, W = data.ref_img.shape
+    x, y = geo.pixel_grid(H, W)
+    if mode == "photometric":
+        return pmrand.random_plane_field(key, data.K_ref, x, y,
+                                         data.depth_min, data.depth_max)
+    n_cam = geo.normal_world_to_cam(data.R_ref, warm.normal)
+    plane = geo.plane_from_depth_normal(data.K_ref, x, y, warm.depth, n_cam)
+    if mode in ("prior", "geom_prior"):
+        k_d, k_n = jax.random.split(key)
+        pert = 0.02 * 3.0
+        w0 = data.prior_planes[..., 3]
+        w_pert = w0 * (1.0 + (jax.random.uniform(k_d, (H, W)) * 2.0 - 1.0) * pert)
+        n_pert = pmrand.perturbed_normal_field(
+            k_n, data.K_ref, x, y, data.prior_planes[..., :3], pert * np.pi)
+        prior_plane = jnp.concatenate([n_pert, w_pert[..., None]], -1)
+        use_prior = data.prior_mask & (warm.cost >= 0.1)
+        plane = jnp.where(use_prior[..., None], prior_plane, plane)
+    return plane
+
+
+_init_plane_jit = jax.jit(_init_plane, static_argnames=("params", "mode"))
+
+
+def _init_score_band(data: SolveData, params, ref_pad, plane_pad, y0,
+                     br: int, halo: int):
+    """One init band's (cost, sel) — the body of _initial_score."""
+    H, W = data.ref_img.shape
+    offsets = params.tap_offsets(params.max_scale)
+    Hs = br + 2 * halo
+    ref_s = jax.lax.dynamic_slice(ref_pad, (y0, 0), (Hs, W))
+    plane_c = jax.lax.dynamic_slice(plane_pad, (y0, 0, 0), (br, W, 4))
+    refside = ncc_refside(ref_s, halo, br, offsets,
+                          params.sigma_spatial, params.sigma_color)
+    xb = jax.lax.broadcasted_iota(jnp.float32, (br, W), 1)
+    yb = jax.lax.broadcasted_iota(jnp.float32, (br, W), 0) + y0
+    costs_v = ncc_eval(refside, data.src_imgs, data.src_widths,
+                       data.src_heights, data.A, data.b, data.K_ref,
+                       plane_c, xb, yb, offsets, params.cost_max)
+    return initial_cost_and_views(costs_v, params.top_k, params.cost_max)
+
+
+_init_score_band_jit = jax.jit(_init_score_band,
+                               static_argnames=("params", "br", "halo"))
+
+
+def _finalize(data: SolveData, state: PatchMatchState, H0: int, W0: int):
+    H, W = data.ref_img.shape
+    x, y = geo.pixel_grid(H, W)
+    depth = geo.depth_from_plane(data.K_ref, state.plane, x, y)
+    normal = geo.normal_cam_to_world(data.R_ref, state.plane[..., :3])
+    crop = lambda a: a[:H0, :W0]
+    depth = checkerboard_median_filter(crop(depth), crop(state.cost))
+    return SolveResult(depth=depth, normal=crop(normal),
+                       cost=crop(state.cost),
+                       geom_cost=crop(state.geom_cost))
+
+
+_finalize_jit = jax.jit(_finalize, static_argnames=("H0", "W0"))
+
+
+def solve_view_stepped(
+    images: Array,
+    cameras: CameraStack,
+    key: Array,
+    params: PatchMatchParams,
+    mode: str = "photometric",
+    warm: Optional[SolveResult] = None,
+    src_depths: Optional[Array] = None,
+    prior_planes: Optional[Array] = None,
+    prior_mask: Optional[Array] = None,
+) -> SolveResult:
+    """solve_view with host-driven per-band dispatch. Bit-compatible PRNG
+    schedule with solve_view_impl (same fold_in tree)."""
+    from mpmvs_tpu.ops.propagation import checkerboard_step_stepped
+
+    assert mode in ("photometric", "geom", "prior", "geom_prior")
+    geom = mode in ("geom", "geom_prior")
+    prior = mode in ("prior", "geom_prior")
+
+    images = jnp.asarray(images)
+    V, H0, W0 = images.shape
+    pad_h, pad_w = H0 % 2, W0 % 2
+    if pad_h or pad_w:
+        images = _pad_rows_cols(images, pad_h, pad_w)
+        if warm is not None:
+            warm = SolveResult(
+                depth=_pad_rows_cols(warm.depth, pad_h, pad_w),
+                normal=jnp.moveaxis(_pad_rows_cols(
+                    jnp.moveaxis(warm.normal, -1, 0), pad_h, pad_w), 0, -1),
+                cost=_pad_rows_cols(warm.cost, pad_h, pad_w),
+                geom_cost=_pad_rows_cols(warm.geom_cost, pad_h, pad_w))
+        if src_depths is not None:
+            src_depths = _pad_rows_cols(src_depths, pad_h, pad_w,
+                                        mode="constant")
+        if prior_planes is not None:
+            prior_planes = jnp.moveaxis(_pad_rows_cols(
+                jnp.moveaxis(prior_planes, -1, 0), pad_h, pad_w,
+                mode="constant"), 0, -1)
+            prior_mask = _pad_rows_cols(prior_mask, pad_h, pad_w,
+                                        mode="constant")
+
+    data = build_solve_data(images, cameras, src_depths, prior_planes,
+                            prior_mask)
+    H, W = data.ref_img.shape
+    S = data.src_imgs.shape[0]
+    band_rows = params.band_rows if params.band_rows > 0 else (
+        auto_band_rows(H, W, S, geom or prior))
+    band_rows = min(band_rows - (band_rows % 2) or H, H)
+
+    # --- init (banded host loop) ---
+    k_init, k_iter = jax.random.split(key)
+    plane = _init_plane_jit(data, params, k_init, mode, warm)
+    halo0 = step_halo(params.max_scale)
+    br = min(band_rows, H)
+    n_bands = -(-H // br)
+    pad_b = n_bands * br - H
+    ref_pad = jnp.pad(data.ref_img, ((halo0, halo0 + pad_b), (0, 0)),
+                      mode="edge")
+    plane_pad = jnp.pad(plane, ((0, pad_b), (0, 0), (0, 0)))
+    cs, ss = [], []
+    for b in range(n_bands):
+        c, s = _init_score_band_jit(data, params, ref_pad, plane_pad,
+                                    jnp.int32(b * br), br=br, halo=halo0)
+        cs.append(c)
+        ss.append(s)
+    cost = jnp.concatenate(cs)[:H]
+    sel = jnp.concatenate(ss)[:H]
+    state = PatchMatchState(plane=plane, cost=cost,
+                            geom_cost=jnp.zeros((H, W), jnp.float32),
+                            sel=sel)
+
+    # --- iterations (host loops; PRNG fold tree identical to the fused
+    # path: fold(fold(fold(k_iter, scale_index), phase), it)) ---
+    n_iter = params.geom_iterations if geom else params.max_iterations
+    scales = list(range(params.max_scale, -1, -1)) if mode == "photometric" else [0]
+    for si, scale in enumerate(scales):
+        k_si = jax.random.fold_in(k_iter, si)
+        for it in range(n_iter):
+            for phase in (0, 1):
+                k = jax.random.fold_in(jax.random.fold_in(k_si, phase), it)
+                state = checkerboard_step_stepped(
+                    state, data, params, scale, it, phase, k, geom, prior,
+                    band_rows)
+
+    return _finalize_jit(data, state, H0=H0, W0=W0)
+
+
+def solve_view(images, cameras, key, params, mode="photometric", warm=None,
+               src_depths=None, prior_planes=None, prior_mask=None,
+               state_sharding=None):
+    """Single-view solve. Dispatch per ``params.dispatch``:
+
+      * "fused": the whole run is ONE XLA program (best when executions may
+        be minutes: real un-tunneled chips, CPU tests, vmapped batches);
+      * "stepped": host-driven per-band executions (tunneled TPU);
+      * "auto": stepped on TPU, fused elsewhere.
+    """
+    dispatch = getattr(params, "dispatch", "auto")
+    if dispatch == "auto":
+        dispatch = "stepped" if jax.default_backend() == "tpu" else "fused"
+    if dispatch == "stepped" and state_sharding is None:
+        return solve_view_stepped(images, cameras, key, params, mode,
+                                  warm=warm, src_depths=src_depths,
+                                  prior_planes=prior_planes,
+                                  prior_mask=prior_mask)
+    return _solve_view_fused(images, cameras, key, params, mode, warm=warm,
+                             src_depths=src_depths,
+                             prior_planes=prior_planes,
+                             prior_mask=prior_mask,
+                             state_sharding=state_sharding)
 
 
 class PatchMatchSolver:

@@ -1,0 +1,191 @@
+"""Scaling-efficiency measurement for the view-sharded pipeline.
+
+BASELINE.md's north star is >=80% scaling efficiency on a v5p-16; no
+multi-chip hardware is reachable from this environment, so this tool
+records (a) a measured strong-scaling curve on a virtual CPU mesh and (b) a
+falsifiable analytic projection for a real pod slice, so the target has
+measurement machinery waiting for hardware (VERDICT r2 weak #9).
+
+Honesty notes, encoded in the output:
+  * the host has few physical cores; virtual CPU devices beyond that count
+    oversubscribe them, so measured wall-time at D > n_cores is a *lower
+    bound* on efficiency and is annotated as such;
+  * the communication model is exact byte counting of the only cross-view
+    exchange the pipeline has — the geometric pass's neighbor-depth gather
+    (parallel/view_sharding.gather_src_depths); photometric passes are
+    embarrassingly parallel (zero collective bytes, PatchMatch has no other
+    coupling: SURVEY.md §2.7).
+
+Usage: python scaling_bench.py [--views N] [--height H] [--width W]
+Writes SCALING_r03.json next to this file and prints it.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# v5p pod-slice interconnect, public numbers: 4 ICI links/chip, ~100 GB/s
+# effective all-gather bandwidth per chip is conservatively ~50 GB/s.
+ICI_AG_BW = 50e9
+V5P_HBM = 95e9 * 1e-9  # unused in the model; kept for the record
+
+
+def child(dev: int, views: int, height: int, width: int, srcs: int) -> dict:
+    """One measurement in a subprocess (device count is process-global)."""
+    import numpy as np
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", dev)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mpmvs_jax_cache")
+    import jax.numpy as jnp
+
+    from mpmvs_tpu.params import PatchMatchParams
+    from mpmvs_tpu.parallel import view_sharding as vs
+    from mpmvs_tpu.parallel.mesh import make_view_mesh
+    from mpmvs_tpu.utils.synthetic import make_plane_scene
+
+    scene = make_plane_scene(num_views=views + srcs, height=height,
+                             width=width, seed=5)
+    params = PatchMatchParams(max_iterations=1, max_scale=0,
+                              geom_iterations=1, sampler="xla")
+    mesh = make_view_mesh(jax.devices())
+
+    # batch of `views` scenes: scene v uses the next `srcs` views cyclically
+    N = views
+    id_lists = [[v] + [(v + k) % (views + srcs - 1) + 1 for k in range(srcs)]
+                for v in range(N)]
+    images = jnp.asarray(np.stack(
+        [np.stack([scene.images[i] for i in ids]) for ids in id_lists]))
+    cam_stacks = [
+        jax.tree.map(lambda a, ids=ids: jnp.stack([a[i] for i in ids]),
+                     scene.cameras)
+        for ids in id_lists]
+    cameras = jax.tree.map(lambda *x: jnp.stack(x), *cam_stacks)
+    src_indices = jnp.asarray(
+        [[(v + 1) % N for _ in range(srcs)] for v in range(N)], jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+
+    def run_photo():
+        res = vs.solve_scenes_sharded(images, cameras, keys, params,
+                                      "photometric", mesh)
+        jax.block_until_ready(res)
+        return res
+
+    res = run_photo()  # compile
+    t0 = time.perf_counter()
+    res = run_photo()
+    t_photo = time.perf_counter() - t0
+
+    def run_geom(res):
+        src_d = vs.gather_src_depths(res.depth, src_indices)
+        out = vs.solve_scenes_sharded(images, cameras, keys, params, "geom",
+                                      mesh, warm=res, src_depths=src_d)
+        jax.block_until_ready(out)
+        return out
+
+    run_geom(res)
+    t0 = time.perf_counter()
+    run_geom(res)
+    t_geom = time.perf_counter() - t0
+    return {"devices": dev, "t_photo_s": round(t_photo, 3),
+            "t_geom_s": round(t_geom, 3)}
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--views", type=int, default=8)
+    p.add_argument("--height", type=int, default=96)
+    p.add_argument("--width", type=int, default=128)
+    p.add_argument("--srcs", type=int, default=2)
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--out", default=os.path.join(HERE, "SCALING_r03.json"))
+    args = p.parse_args()
+
+    if os.environ.get("SCALING_CHILD"):
+        print(json.dumps(child(int(os.environ["SCALING_CHILD"]), args.views,
+                               args.height, args.width, args.srcs)))
+        return 0
+
+    n_cores = os.cpu_count() or 1
+    curve = []
+    for d in args.devices:
+        if d > args.views:
+            continue
+        # one compute thread per virtual device: otherwise XLA's CPU
+        # intra-op pool already spans all cores at D=1 and the curve
+        # measures thread-pool contention, not sharding efficiency
+        env = dict(os.environ, SCALING_CHILD=str(d),
+                   XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                              + " --xla_cpu_multi_thread_eigen=false"),
+                   OMP_NUM_THREADS="1")
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)]
+                              + sys.argv[1:],
+                              env=env, capture_output=True, text=True,
+                              timeout=3600)
+        if proc.returncode != 0:
+            print(proc.stderr[-2000:], file=sys.stderr)
+            return 1
+        row = json.loads(proc.stdout.strip().splitlines()[-1])
+        row["oversubscribed"] = d > n_cores
+        curve.append(row)
+        print(row)
+
+    t1 = curve[0]
+    for row in curve:
+        d = row["devices"]
+        row["eff_photo"] = round(t1["t_photo_s"] / (d * row["t_photo_s"]), 3)
+        row["eff_geom"] = round(t1["t_geom_s"] / (d * row["t_geom_s"]), 3)
+
+    # analytic projection for a v5p-16 (8 chips x 2 cores = 16 devices):
+    # per geometric pass each device all-gathers the neighbor depth maps it
+    # lacks: <= S * H * W * 4 bytes at the reference operating point.
+    H, W, S = 2130, 3200, 20
+    bytes_per_view = S * H * W * 4.0
+    t_comm = bytes_per_view / ICI_AG_BW
+    # per-view solve time: take the single-chip bench if present
+    bench_path = os.path.join(HERE, "BENCH_r03.json")
+    t_solve = None
+    if os.path.exists(bench_path):
+        try:
+            with open(bench_path) as f:
+                b = json.load(f)
+            parsed = b.get("parsed") or b
+            if parsed.get("value"):
+                t_solve = 1.0 / float(parsed["value"])
+        except Exception:
+            pass
+    projection = {
+        "operating_point": f"{W}x{H}x{S}src",
+        "geom_allgather_bytes_per_view": bytes_per_view,
+        "ici_allgather_bw_assumed_B_per_s": ICI_AG_BW,
+        "t_comm_per_view_s": round(t_comm, 4),
+        "t_solve_per_view_s": t_solve,
+        "projected_eff_v5p16": (round(t_solve / (t_solve + t_comm), 4)
+                                if t_solve else None),
+        "note": "photometric passes exchange zero bytes; efficiency loss is "
+                "the geom-pass depth all-gather + per-pass load imbalance "
+                "(<= 1 view per chip of ragged tail)",
+    }
+    out = {
+        "measured_cpu_mesh": curve,
+        "n_physical_cores": n_cores,
+        "caveat": f"host has {n_cores} cores; rows with oversubscribed=true "
+                  f"measure core contention, not sharding overhead",
+        "projection": projection,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
