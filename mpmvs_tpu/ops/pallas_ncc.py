@@ -3,32 +3,32 @@
 Why this exists: the solver's innermost operation — bilinear-sampling the
 source images at homography-projected window taps (the reference's tex2D
 fetches, src/PatchMatch.cu:363-377) — has no TPU texture unit behind it.
-XLA lowers the per-element gathers to a scalar loop measured at ~12
-cycles/element on v5e, ~3 orders of magnitude below HBM streaming rate, and
-it dominates end-to-end runtime. This kernel replaces the gathers with a
-vectorized construction built from the two primitives Mosaic does vectorize:
+XLA lowers the per-element gathers to a scalar loop (~32 Mtaps/s measured
+on v5e); Mosaic's lane-wise ``dynamic_gather`` sustains ~42 G gathers/s, so
+the kernel formulates bilinear sampling as:
 
-  * ``tpu.dynamic_gather`` along lanes (take_along_axis, axis=-1) within a
-    single 128-lane vreg block, and
-  * the same along sublanes with a *constant* index to broadcast one slab
-    row to all 8 sublanes,
+  * a broadcast of one source row across sublanes, then
+  * two ``take_along_axis`` lane-gathers (the bilinear x-corners), blended
+    by arithmetic row/column masks.
 
-combined as: scan the (data-dependent) range of 8-row source slabs touched
-by a (8, 128)-pixel tile's taps; per slab row, broadcast it and gather the
-two bilinear x-corners per pixel per 128-lane block; blend with the
-bilinear weights. Exact (bit-comparable to the XLA path up to float
-rounding), measured ~12x faster than the XLA gather on spatially coherent
-sample fields (the common case: candidate/current/perturbed hypothesis
-fields). Random-depth fields (init, the two random refinement trials,
-PatchMatch.cu:675) have no coherence and stay on the XLA path — the solver
-picks per call site (ops/propagation.py).
+Control-flow lesson (round 3, measured): the round-2 kernel spent ~98% of
+its time in per-tap dynamic control — an SMEM range table per tap, a
+``pl.when`` per (tap, slab), and a dynamic ``fori_loop`` over column
+blocks. A microbenchmark of the *same* gather pattern with static loops
+runs 51x faster. This rewrite therefore keeps exactly TWO dynamic loops
+per (tile, view) — source row-slabs and 256-lane column windows, both with
+data-dependent trip counts so cost follows the projected footprint — and
+makes everything inside them static and mask-predicated: 36 taps x 8 slab
+rows x 2 column blocks of pure vector work. Out-of-window contributions
+are zero by construction of the masks, so correctness never depends on the
+footprint estimate; the scalar bounds only control how much work runs.
 
-The source image stack stays in HBM (``pltpu.ANY``); each slab is DMA'd
-into VMEM scratch on demand, so image size is bounded by HBM, not VMEM.
 One kernel invocation computes a full 36-tap bilateral-ZNCC cost for one
 (tile, view) pair: tap projection (factorized homography, 2 FMAs/tap),
-slab-scan sampling, and the ZNCC reduction against precomputed
-reference-side moments (ops/ncc.NCCRefSide).
+slab/window sweep sampling, and the ZNCC reduction against precomputed
+reference-side moments (ops/ncc.NCCRefSide). The source image stack stays
+in HBM (``pltpu.ANY``); slabs are DMA'd into VMEM scratch on demand, so
+image size is bounded by HBM, not VMEM.
 """
 
 from __future__ import annotations
@@ -48,6 +48,7 @@ from mpmvs_tpu.ops.ncc import K_MIN_VAR, NCCRefSide
 Array = jax.Array
 
 TR, TC = 8, 128  # pixel tile = one (sublane, lane) vreg
+WIN = 2 * TC     # column window: 2 static 128-lane blocks per sweep step
 
 
 def _kernel(
@@ -71,11 +72,10 @@ def _kernel(
     # scratch
     slab_ref,      # (8, Wp) VMEM
     vals_ref,      # (T, TR, TC) VMEM — accumulated tap samples
-    g0_ref, g1_ref,    # (T, TR, TC) int32 clipped x corners
+    g0_ref, g1_ref,    # (T, TR, TC) f32 clipped x corners
     fx_ref,        # (T, TR, TC) f32
-    y0_ref,        # (T, TR, TC) int32 clipped y0
+    y0_ref,        # (T, TR, TC) f32 clipped y0
     fy_ref,        # (T, TR, TC) f32
-    rng_ref,       # (T, 4) int32 SMEM: per-tap slab lo/hi, col-block lo/hi
     sem,           # DMA semaphore
     *,
     offsets: Tuple[Tuple[int, int], ...],
@@ -124,15 +124,13 @@ def _kernel(
     oob = ((cx < 0.0) | (cx >= W) | (cy < 0.0) | (cy >= H)
            | ~jnp.isfinite(cx) | ~jnp.isfinite(cy))
 
-    # per-tap sample coordinates (static tap loop), sanitized + clipped;
-    # per-tap slab / column-block ranges go to SMEM so the scan loops are
-    # data-adaptive (cost follows the tile's actual projected footprint)
+    # ---- per-tap sample coordinates (static tap loop, pure vector) ----
     n_slabs = n_src_rows // 8
-    n_blocks = n_src_cols // TC
-    smin = jnp.int32(n_slabs - 1)
-    smax = jnp.int32(0)
-    Wi = W.astype(jnp.int32)
-    Hi = H.astype(jnp.int32)
+    big = jnp.float32(3.0e38)
+    ymin = jnp.full((TR, TC), big, jnp.float32)
+    ymax = jnp.full((TR, TC), -big, jnp.float32)
+    xmin = jnp.full((TR, TC), big, jnp.float32)
+    xmax = jnp.full((TR, TC), -big, jnp.float32)
     for t, (dx, dy) in enumerate(offsets):
         hz = hp[2] + dx * colx[2] + dy * coly[2]
         iz = 1.0 / hz
@@ -144,83 +142,82 @@ def _kernel(
         ys = jnp.clip(ys, 0.0, Hm1)
         x0f = jnp.floor(xs)
         y0f = jnp.floor(ys)
-        fx = xs - x0f
-        fy = ys - y0f
-        x0 = x0f.astype(jnp.int32)
-        y0 = y0f.astype(jnp.int32)
-        g0 = jnp.clip(x0, 0, Wi - 1)
-        g1 = jnp.clip(x0 + 1, 0, Wi - 1)
+        fx_ref[t] = xs - x0f
+        fy_ref[t] = ys - y0f
+        g0 = jnp.minimum(x0f, Wm1)
+        g1 = jnp.minimum(x0f + 1.0, Wm1)
+        y0c = jnp.minimum(y0f, Hm1)
         g0_ref[t] = g0
         g1_ref[t] = g1
-        y0c = jnp.clip(y0, 0, Hi - 1)
         y0_ref[t] = y0c
-        fx_ref[t] = fx
-        fy_ref[t] = fy
         vals_ref[t] = jnp.zeros((TR, TC), jnp.float32)
-        # y1 = y0c + 1 clipped; slab range must cover both
-        y1c = jnp.minimum(y0c + 1, Hi - 1)
-        # Defensive clamps on every scan bound: the bounds drive pl.ds DMA
-        # offsets, and an out-of-range value (e.g. from a miscompiled int
-        # vector->scalar reduction) would fault the whole TPU worker rather
-        # than raise. Clamped, the worst case is wasted slab reads.
-        clamp_s = lambda v: jnp.clip(v, 0, n_slabs - 1)
-        clamp_b = lambda v: jnp.clip(v, 0, n_blocks - 1)
-        t_slo = clamp_s(jnp.min(y0c) // 8)
-        t_shi = clamp_s(jnp.max(y1c) // 8)
-        rng_ref[t, 0] = t_slo
-        rng_ref[t, 1] = t_shi
-        rng_ref[t, 2] = clamp_b(jnp.min(g0) // TC)
-        rng_ref[t, 3] = clamp_b(jnp.max(g1) // TC)
-        smin = jnp.minimum(smin, t_slo)
-        smax = jnp.maximum(smax, t_shi)
+        ymin = jnp.minimum(ymin, y0c)
+        ymax = jnp.maximum(ymax, jnp.minimum(y0c + 1.0, Hm1))
+        xmin = jnp.minimum(xmin, g0)
+        xmax = jnp.maximum(xmax, g1)
+
+    # footprint bounds -> scalar sweep ranges (clamped: these only control
+    # how much work runs — masks make out-of-range contributions zero)
+    f2i = lambda v: v.astype(jnp.int32)
+    slab_lo = jnp.clip(f2i(jnp.min(ymin)) // 8, 0, n_slabs - 1)
+    slab_hi = jnp.clip(f2i(jnp.max(ymax)) // 8, 0, n_slabs - 1)
+    win_lo = jnp.clip(f2i(jnp.min(xmin)) // WIN, 0, n_src_cols // WIN - 1)
+    win_hi = jnp.clip(f2i(jnp.max(xmax)) // WIN, 0, n_src_cols // WIN - 1)
 
     def slab_body(sl, _):
-        copy = pltpu.make_async_copy(
-            src_ref.at[s, pl.ds(sl * 8, 8), :], slab_ref, sem)
-        copy.start()
-        copy.wait()
+        base_row = (sl * 8).astype(jnp.float32)
 
-        def tap_body(t, _):
-            @pl.when((rng_ref[t, 0] <= sl) & (sl <= rng_ref[t, 1]))
-            def _():
+        def win_body(wi, _):
+            off = wi * WIN
+            offf = off.astype(jnp.float32)
+            # DMA only this (slab, window) subblock: 8 KB instead of a
+            # full-width slab row (the full-width copy dominated round-3's
+            # first rewrite at ~450 us/invocation)
+            copy = pltpu.make_async_copy(
+                src_ref.at[s, pl.ds(sl * 8, 8), pl.ds(off, WIN)],
+                slab_ref, sem)
+            copy.start()
+            copy.wait()
+            b0 = slab_ref[:, 0:TC]
+            b1 = slab_ref[:, TC:WIN]
+            # fully static from here: 36 taps x 8 rows x 2 blocks of masked
+            # vector work — no branches, no scalar reads
+            for t in range(T):
                 y0c = y0_ref[t]
                 fy = fy_ref[t]
-                g0 = g0_ref[t]
-                g1 = g1_ref[t]
                 fx = fx_ref[t]
-                y1c = jnp.minimum(y0c + 1, Hi - 1)
-                # y-blend weight per slab row; if y1 clipped onto y0
-                # (bottom edge) the weights sum to 1
-                wys = []
+                l0 = g0_ref[t] - offf
+                l1 = g1_ref[t] - offf
+                w00 = jnp.where((l0 >= 0.0) & (l0 < TC), 1.0 - fx, 0.0)
+                w01 = jnp.where((l1 >= 0.0) & (l1 < TC), fx, 0.0)
+                w10 = jnp.where((l0 >= TC) & (l0 < WIN), 1.0 - fx, 0.0)
+                w11 = jnp.where((l1 >= TC) & (l1 < WIN), fx, 0.0)
+                c00 = jnp.clip(l0, 0.0, TC - 1.0).astype(jnp.int32)
+                c01 = jnp.clip(l1, 0.0, TC - 1.0).astype(jnp.int32)
+                c10 = jnp.clip(l0 - TC, 0.0, TC - 1.0).astype(jnp.int32)
+                c11 = jnp.clip(l1 - TC, 0.0, TC - 1.0).astype(jnp.int32)
+                acc = vals_ref[t]
                 for kk in range(8):
-                    r = sl * 8 + kk
-                    wys.append(jnp.where(y0c == r, 1.0 - fy, 0.0)
-                               + jnp.where(y1c == r, fy, 0.0))
-
-                def block_body(cb, acc):
-                    blk = slab_ref[:, pl.ds(cb * TC, TC)]
-                    l0 = g0 - cb * TC
-                    l1 = g1 - cb * TC
-                    w0 = jnp.where((l0 >= 0) & (l0 < TC), 1.0 - fx, 0.0)
-                    w1 = jnp.where((l1 >= 0) & (l1 < TC), fx, 0.0)
-                    c0 = jnp.clip(l0, 0, TC - 1)
-                    c1 = jnp.clip(l1, 0, TC - 1)
-                    for kk in range(8):
-                        bk = jnp.take_along_axis(
-                            blk, jnp.full((TR, TC), kk, jnp.int32), axis=0)
-                        v0 = jnp.take_along_axis(bk, c0, axis=1)
-                        v1 = jnp.take_along_axis(bk, c1, axis=1)
-                        acc = acc + wys[kk] * (w0 * v0 + w1 * v1)
-                    return acc
-
-                vals_ref[t] = jax.lax.fori_loop(
-                    rng_ref[t, 2], rng_ref[t, 3] + 1, block_body, vals_ref[t])
+                    r = base_row + kk
+                    # y-blend weight for this absolute source row; the
+                    # bottom-edge clip (y1 folded onto y0) sums to 1 there
+                    wy = (jnp.where(y0c == r, 1.0 - fy, 0.0)
+                          + jnp.where(jnp.minimum(y0c + 1.0, Hm1) == r,
+                                      fy, 0.0))
+                    r0 = jnp.broadcast_to(b0[kk:kk + 1, :], (TR, TC))
+                    r1 = jnp.broadcast_to(b1[kk:kk + 1, :], (TR, TC))
+                    v = (w00 * jnp.take_along_axis(r0, c00, axis=1)
+                         + w01 * jnp.take_along_axis(r0, c01, axis=1)
+                         + w10 * jnp.take_along_axis(r1, c10, axis=1)
+                         + w11 * jnp.take_along_axis(r1, c11, axis=1))
+                    acc = acc + wy * v
+                vals_ref[t] = acc
             return 0
 
-        jax.lax.fori_loop(0, T, tap_body, 0, unroll=True)
+        jax.lax.fori_loop(win_lo, win_hi + 1, win_body, 0)
         return 0
 
-    jax.lax.fori_loop(smin, smax + 1, slab_body, 0)
+    jax.lax.fori_loop(slab_lo, slab_hi + 1, slab_body, 0)
 
     # ZNCC reduction against precomputed reference moments (ops/ncc.ncc_eval)
     sum_src = jnp.zeros((TR, TC), jnp.float32)
@@ -273,11 +270,14 @@ def ncc_eval_pallas(
     """Drop-in replacement for ops.ncc.ncc_eval on 2D pixel sets.
 
     Returns (S, R, C) bilateral-ZNCC costs. ``src_imgs`` must be padded to
-    (8, 128) row/col multiples (build_solve_data does this); valid extents
-    come from src_widths/heights as usual.
+    (8, 256) row/col multiples (build_solve_data pads to the lcm; valid
+    extents come from src_widths/heights as usual).
     """
     S, Hp, Wp = src_imgs.shape
-    assert Hp % 8 == 0 and Wp % TC == 0, (Hp, Wp)
+    if Wp % WIN:
+        src_imgs = _pad_to(src_imgs, (0, 8, WIN))
+        S, Hp, Wp = src_imgs.shape
+    assert Hp % 8 == 0 and Wp % WIN == 0, (Hp, Wp)
     R, C = x.shape
     T = len(offsets)
 
@@ -329,14 +329,13 @@ def ncc_eval_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, Rp, Cp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, Wp), jnp.float32),        # slab
+            pltpu.VMEM((8, WIN), jnp.float32),       # slab-window
             pltpu.VMEM((T, TR, TC), jnp.float32),    # vals
-            pltpu.VMEM((T, TR, TC), jnp.int32),      # g0
-            pltpu.VMEM((T, TR, TC), jnp.int32),      # g1
+            pltpu.VMEM((T, TR, TC), jnp.float32),    # g0
+            pltpu.VMEM((T, TR, TC), jnp.float32),    # g1
             pltpu.VMEM((T, TR, TC), jnp.float32),    # fx
-            pltpu.VMEM((T, TR, TC), jnp.int32),      # y0
+            pltpu.VMEM((T, TR, TC), jnp.float32),    # y0
             pltpu.VMEM((T, TR, TC), jnp.float32),    # fy
-            pltpu.SMEM((T, 4), jnp.int32),           # per-tap scan ranges
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

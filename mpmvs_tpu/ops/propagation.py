@@ -481,16 +481,17 @@ def _band_step(
 
     trial_d = [depth_rand, depth_now, depth_rand, depth_now, depth_pert]
     trial_n = [normal_now, normal_rand, normal_rand, normal_pert, normal_now]
-    # trials with per-pixel *random depth* project incoherently — the Pallas
-    # slab-scan sampler degrades there, so they keep the XLA gather path
-    trial_scattered = [True, False, True, False, False]
+    # Random-depth trials project incoherently (large per-tile footprints),
+    # but the rewritten sweep kernel's cost follows the footprint and still
+    # beats the XLA scalar-gather loop ~3x even there (r3 measurement), so
+    # every trial uses the configured sampler.
 
     if prior:
         prior_depth_f = geo.depth_from_plane(data.K_ref, prior_planes_p, x_p, y_p)
 
-    for d_i, n_i, scat in zip(trial_d, trial_n, trial_scattered):
+    for d_i, n_i in zip(trial_d, trial_n):
         plane_i = geo.plane_from_depth_normal(data.K_ref, x_p, y_p, d_i, n_i)
-        c_v = (ncc_xla if scat else ncc)(plane_i)
+        c_v = ncc(plane_i)
         g_v = gcost(plane_i) if geom else None
         t_cost, t_geom = _weighted_total(c_v, weights, weight_norm, g_v,
                                          params.geom_weight)

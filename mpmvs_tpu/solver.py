@@ -98,6 +98,29 @@ def build_solve_data(
     )
 
 
+def _ncc_sampler(params: PatchMatchParams):
+    """ncc_eval-compatible callable per params.sampler (auto: Pallas kernel
+    on TPU — 3x the XLA scalar-gather loop even on incoherent fields)."""
+    sampler = params.sampler
+    if sampler == "auto":
+        sampler = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if sampler == "pallas":
+        from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas
+
+        def fn(refside, data, plane, xb, yb, offsets):
+            return ncc_eval_pallas(
+                refside, data.src_imgs, data.src_widths, data.src_heights,
+                data.A, data.b, data.K_ref, plane, xb, yb, tuple(offsets),
+                params.cost_max)
+        return fn
+
+    def fn(refside, data, plane, xb, yb, offsets):
+        return ncc_eval(refside, data.src_imgs, data.src_widths,
+                        data.src_heights, data.A, data.b, data.K_ref,
+                        plane, xb, yb, offsets, params.cost_max)
+    return fn
+
+
 def _initial_score(data: SolveData, params: PatchMatchParams,
                    plane: Array, band_rows: int):
     """Banded initial multi-view scoring + top-k view selection
@@ -117,6 +140,8 @@ def _initial_score(data: SolveData, params: PatchMatchParams,
     plane_pad = jnp.pad(plane, ((0, pad_b), (0, 0), (0, 0)))
     Hs = br + 2 * halo
 
+    ncc = _ncc_sampler(params)
+
     def band_fn(b):
         y0 = b * br
         ref_s = jax.lax.dynamic_slice(ref_pad, (y0, 0), (Hs, W))
@@ -125,9 +150,7 @@ def _initial_score(data: SolveData, params: PatchMatchParams,
                               params.sigma_spatial, params.sigma_color)
         xb = jax.lax.broadcasted_iota(jnp.float32, (br, W), 1)
         yb = jax.lax.broadcasted_iota(jnp.float32, (br, W), 0) + y0
-        costs_v = ncc_eval(refside, data.src_imgs, data.src_widths,
-                           data.src_heights, data.A, data.b, data.K_ref,
-                           plane_c, xb, yb, offsets, params.cost_max)
+        costs_v = ncc(refside, data, plane_c, xb, yb, offsets)
         return initial_cost_and_views(costs_v, params.top_k, params.cost_max)
 
     if n_bands == 1:
@@ -317,9 +340,7 @@ def _init_score_band(data: SolveData, params, ref_pad, plane_pad, y0,
                           params.sigma_spatial, params.sigma_color)
     xb = jax.lax.broadcasted_iota(jnp.float32, (br, W), 1)
     yb = jax.lax.broadcasted_iota(jnp.float32, (br, W), 0) + y0
-    costs_v = ncc_eval(refside, data.src_imgs, data.src_widths,
-                       data.src_heights, data.A, data.b, data.K_ref,
-                       plane_c, xb, yb, offsets, params.cost_max)
+    costs_v = _ncc_sampler(params)(refside, data, plane_c, xb, yb, offsets)
     return initial_cost_and_views(costs_v, params.top_k, params.cost_max)
 
 
