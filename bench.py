@@ -89,6 +89,13 @@ def measure(sampler: str) -> dict:
     process if the sampler's kernel faults the TPU worker — call via a
     child process unless the sampler is known-safe."""
     import jax
+
+    # persistent compile cache: the stepped solve is ~10 distinct band
+    # programs; caching makes the fallback child (and any re-run) skip the
+    # multi-minute compile phase
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mpmvs_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import numpy as np
     import jax.numpy as jnp
     from mpmvs_tpu.params import PatchMatchParams

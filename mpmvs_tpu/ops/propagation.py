@@ -317,15 +317,23 @@ def _band_step(
                         plane, x_p, y_p, offsets, params.cost_max)
 
     if sampler == "pallas":
-        from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas
+        from mpmvs_tpu.ops.pallas_ncc import (ncc_eval_pallas,
+                                              ncc_eval_pallas_sorted)
 
         def ncc(plane):
             return ncc_eval_pallas(
                 refside, data.src_imgs, data.src_widths, data.src_heights,
                 data.A, data.b, data.K_ref, plane, x_p, y_p,
                 tuple(offsets), params.cost_max)
+
+        def ncc_scatter(plane):
+            return ncc_eval_pallas_sorted(
+                refside, data.src_imgs, data.src_widths, data.src_heights,
+                data.A, data.b, data.K_ref, plane, x_p, y_p,
+                tuple(offsets), params.cost_max)
     else:
         ncc = ncc_xla
+        ncc_scatter = ncc_xla
 
     def gcost(plane):
         return geom_consistency_cost(
@@ -481,17 +489,20 @@ def _band_step(
 
     trial_d = [depth_rand, depth_now, depth_rand, depth_now, depth_pert]
     trial_n = [normal_now, normal_rand, normal_rand, normal_pert, normal_now]
-    # Random-depth trials project incoherently (large per-tile footprints),
-    # but the rewritten sweep kernel's cost follows the footprint and still
-    # beats the XLA scalar-gather loop ~3x even there (r3 measurement), so
-    # every trial uses the configured sampler.
+    # Trials with per-pixel *random depth* project incoherently: the sweep
+    # kernel's cost follows the tile footprint, which for a random-depth
+    # field is the whole projected depth range (measured 3.6 Mtaps/s at
+    # 3200x2130). They use the sorted-scatter kernel path instead: pixels
+    # bucketed per view by projected (slab, window) before sampling
+    # (ncc_eval_pallas_sorted), or plain XLA gathers off-TPU.
+    trial_scattered = [True, False, True, False, False]
 
     if prior:
         prior_depth_f = geo.depth_from_plane(data.K_ref, prior_planes_p, x_p, y_p)
 
-    for d_i, n_i in zip(trial_d, trial_n):
+    for d_i, n_i, scat in zip(trial_d, trial_n, trial_scattered):
         plane_i = geo.plane_from_depth_normal(data.K_ref, x_p, y_p, d_i, n_i)
-        c_v = ncc(plane_i)
+        c_v = (ncc_scatter if scat else ncc)(plane_i)
         g_v = gcost(plane_i) if geom else None
         t_cost, t_geom = _weighted_total(c_v, weights, weight_norm, g_v,
                                          params.geom_weight)

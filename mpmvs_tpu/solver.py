@@ -99,16 +99,21 @@ def build_solve_data(
 
 
 def _ncc_sampler(params: PatchMatchParams):
-    """ncc_eval-compatible callable per params.sampler (auto: Pallas kernel
-    on TPU — 3x the XLA scalar-gather loop even on incoherent fields)."""
+    """ncc_eval-compatible callable for *incoherent* (random-plane) fields.
+
+    Init fields are per-pixel random, so their per-tile projected footprint
+    spans the whole depth range — the plain sweep kernel degrades there
+    (3.6 Mtaps/s at 3200x2130). On TPU the sorted-scatter kernel is used
+    (per-view bucketing by projected slab/window restores tiny footprints);
+    elsewhere the XLA gather path."""
     sampler = params.sampler
     if sampler == "auto":
         sampler = "pallas" if jax.default_backend() == "tpu" else "xla"
     if sampler == "pallas":
-        from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas
+        from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas_sorted
 
         def fn(refside, data, plane, xb, yb, offsets):
-            return ncc_eval_pallas(
+            return ncc_eval_pallas_sorted(
                 refside, data.src_imgs, data.src_widths, data.src_heights,
                 data.A, data.b, data.K_ref, plane, xb, yb, tuple(offsets),
                 params.cost_max)

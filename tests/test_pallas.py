@@ -99,3 +99,27 @@ class TestBilateralKernel:
         out = np.asarray(bilateral_refine_pallas(
             jnp.asarray(bgr), jnp.asarray(prob), interpret=True))
         np.testing.assert_allclose(out, 0.7, atol=1e-5)
+
+
+def test_sorted_scatter_matches_xla_on_random_planes(setup):
+    """ncc_eval_pallas_sorted (per-view bucketing + vals-out + XLA ZNCC)
+    must reproduce ncc_eval on an incoherent random-plane field."""
+    from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas_sorted
+    from mpmvs_tpu.ops.random import random_plane_field
+
+    scene, params, data = setup
+    offsets = params.tap_offsets(0)
+    H, W = data.ref_img.shape
+    r0, rows = 8, 16
+    x, y = geo.pixel_grid(rows, W)
+    y = y + r0
+    plane = random_plane_field(jax.random.PRNGKey(5), data.K_ref, x, y,
+                               data.depth_min, data.depth_max)
+    refside = ncc_refside(data.ref_img, r0, rows, offsets,
+                          params.sigma_spatial, params.sigma_color)
+    args = (data.src_imgs, data.src_widths, data.src_heights,
+            data.A, data.b, data.K_ref, plane, x, y)
+    c_xla = np.asarray(ncc_eval(refside, *args, offsets, params.cost_max))
+    c_srt = np.asarray(ncc_eval_pallas_sorted(
+        refside, *args, tuple(offsets), params.cost_max, interpret=True))
+    np.testing.assert_allclose(c_srt, c_xla, atol=2e-4)
