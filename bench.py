@@ -47,7 +47,7 @@ SAMPLER = os.environ.get("BENCH_SAMPLER", "auto")  # auto | pallas | xla
 # Per-child wall-clock cap so a hung worker cannot eat the round.
 CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT", 5400))
 
-VALID_SAMPLERS = ("auto", "pallas", "xla")
+VALID_SAMPLERS = ("auto", "pallas", "pallas_sorted", "xla")
 
 # Chip peak specs for the roofline (public numbers).
 CHIP_SPECS = {

@@ -316,7 +316,7 @@ def _band_step(
                         data.src_heights, data.A, data.b, data.K_ref,
                         plane, x_p, y_p, offsets, params.cost_max)
 
-    if sampler == "pallas":
+    if sampler in ("pallas", "pallas_sorted"):
         from mpmvs_tpu.ops.pallas_ncc import (ncc_eval_pallas,
                                               ncc_eval_pallas_sorted)
 
@@ -326,11 +326,16 @@ def _band_step(
                 data.A, data.b, data.K_ref, plane, x_p, y_p,
                 tuple(offsets), params.cost_max)
 
-        def ncc_scatter(plane):
-            return ncc_eval_pallas_sorted(
-                refside, data.src_imgs, data.src_widths, data.src_heights,
-                data.A, data.b, data.K_ref, plane, x_p, y_p,
-                tuple(offsets), params.cost_max)
+        if sampler == "pallas_sorted":
+            # opt-in: bucket-sorted kernel sampling for the random-depth
+            # trials (not yet the default — see ncc_eval_pallas_sorted)
+            def ncc_scatter(plane):
+                return ncc_eval_pallas_sorted(
+                    refside, data.src_imgs, data.src_widths,
+                    data.src_heights, data.A, data.b, data.K_ref, plane,
+                    x_p, y_p, tuple(offsets), params.cost_max)
+        else:
+            ncc_scatter = ncc_xla
     else:
         ncc = ncc_xla
         ncc_scatter = ncc_xla

@@ -50,11 +50,11 @@ class PatchMatchParams:
     band_rows: int = 0
     # Source-sampling implementation for the NCC hot loop:
     #   "auto"   — Pallas kernel on TPU, XLA gathers elsewhere;
-    #   "pallas" — force the Pallas kernel (ops/pallas_ncc.py);
+    #   "pallas" — Pallas sweep kernel for coherent evals, XLA for random;
+    #   "pallas_sorted" — additionally route random-depth fields (init +
+    #                     2 refinement trials, which project incoherently)
+    #                     through the bucket-sorted kernel (opt-in);
     #   "xla"    — force XLA gathers everywhere.
-    # Random-depth hypothesis fields (init + 2 refinement trials) always use
-    # the XLA path: they have no spatial coherence for the kernel's
-    # slab-scan to exploit.
     sampler: str = "auto"
     # Execution granularity of solve_view:
     #   "fused"   — the whole run is one XLA program (CPU tests, vmapped

@@ -109,7 +109,7 @@ def _ncc_sampler(params: PatchMatchParams):
     sampler = params.sampler
     if sampler == "auto":
         sampler = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if sampler == "pallas":
+    if sampler == "pallas_sorted":
         from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas_sorted
 
         def fn(refside, data, plane, xb, yb, offsets):
