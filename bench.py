@@ -93,7 +93,9 @@ def measure(sampler: str) -> dict:
     # persistent compile cache: the stepped solve is ~10 distinct band
     # programs; caching makes the fallback child (and any re-run) skip the
     # multi-minute compile phase
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mpmvs_jax_cache")
+    # NB: distinct from the CPU test suite's cache dir — concurrent
+    # writers from different platforms segfaulted the cache writer
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mpmvs_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     import numpy as np
