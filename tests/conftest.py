@@ -16,6 +16,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the solver graphs are large and dominate suite
-# time; repeat runs hit the cache.
-jax.config.update("jax_compilation_cache_dir", "/tmp/mpmvs_jax_cache")
+# time; repeat runs hit the cache. Overridable so a suite run can't share a
+# dir with a concurrently-running TPU job (concurrent cross-platform
+# writers segfaulted the cache serializer once).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("MPMVS_TEST_CACHE", "/tmp/mpmvs_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
