@@ -127,11 +127,18 @@ def ncc_eval(
     x: Array, y: Array,      # (…,) global pixel coordinates
     offsets: Sequence[Tuple[int, int]],
     cost_max: float = 2.0,
+    cap_radius: float = 0.0,
 ) -> Array:
     """Bilateral ZNCC cost of `plane` against every source view at the pixel
     set (x, y): returns (S, …) costs in [0, cost_max]. Out-of-bounds center
     projections and degenerate-variance windows cost `cost_max`
-    (PatchMatch.cu:350-353, 406-408)."""
+    (PatchMatch.cu:350-353, 406-408).
+
+    ``cap_radius`` > 0 enables the footprint cap (documented deviation, see
+    ops/pallas_ncc._kernel): any hypothesis whose projected window leaves a
+    ±cap_radius box around the center projection costs ``cost_max``. The
+    detection arithmetic mirrors the Pallas kernel bit-for-bit so both
+    samplers stay interchangeable."""
     S = src_imgs.shape[0]
     view_bshape = (S,) + (1,) * x.ndim
 
@@ -150,6 +157,17 @@ def ncc_eval(
         | ~jnp.isfinite(pt[..., 1])
     )
 
+    if cap_radius > 0.0:
+        # center via reciprocal-multiply, exactly like the kernel
+        inv_zc = 1.0 / h_p[..., 2]
+        ccx = h_p[..., 0] * inv_zc
+        ccy = h_p[..., 1] * inv_zc
+        ccx = jnp.where(jnp.isfinite(ccx), ccx, 0.0)
+        ccy = jnp.where(jnp.isfinite(ccy), ccy, 0.0)
+        bx_lo, bx_hi = ccx - cap_radius, ccx + cap_radius
+        by_lo, by_hi = ccy - cap_radius, ccy + cap_radius
+        capped = jnp.zeros_like(oob)
+
     view_idx = jax.lax.broadcasted_iota(jnp.int32, (S,) + x.shape, 0)
     sum_src = jnp.zeros((S,) + x.shape, refside.m_ref.dtype)
     sum_src2 = jnp.zeros_like(sum_src)
@@ -157,6 +175,13 @@ def ncc_eval(
     for k, (dx, dy) in enumerate(offsets):
         h = h_p + dx * col_x + dy * col_y
         inv_z = 1.0 / h[..., 2]
+        if cap_radius > 0.0:
+            xs = h[..., 0] * inv_z
+            ys = h[..., 1] * inv_z
+            xs = jnp.where(jnp.isfinite(xs), xs, 0.0)
+            ys = jnp.where(jnp.isfinite(ys), ys, 0.0)
+            capped = (capped | (xs < bx_lo) | (xs > bx_hi)
+                      | (ys < by_lo) | (ys > by_hi))
         src_tap = bilinear_sample_batched(
             src_imgs, view_idx, h[..., 0] * inv_z, h[..., 1] * inv_z,
             src_widths, src_heights,
@@ -174,7 +199,8 @@ def ncc_eval(
     degenerate = (refside.var_ref[None] < K_MIN_VAR) | (var_src < K_MIN_VAR)
     denom = jnp.sqrt(jnp.maximum(refside.var_ref[None] * var_src, 1e-30))
     ncc = jnp.clip(1.0 - covar / denom, 0.0, cost_max)
-    return jnp.where(oob | degenerate, cost_max, ncc)
+    bad = (oob | capped | degenerate) if cap_radius > 0.0 else (oob | degenerate)
+    return jnp.where(bad, cost_max, ncc)
 
 
 def ncc_cost(

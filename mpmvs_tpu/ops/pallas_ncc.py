@@ -62,30 +62,40 @@ def _kernel(
     invw_ref,      # (TR, TC)
     mref_ref,      # (TR, TC)
     varref_ref,    # (TR, TC)
-    plane_ref,     # (4, TR, TC)
+    plane_ref,     # (K, 4, TR, TC) — K stacked hypothesis fields
     xg_ref,        # (TR, TC) global x
     yg_ref,        # (TR, TC) global y
     # HBM
     src_ref,       # (S, Hp, Wp), pltpu.ANY
     # output
-    out_ref,       # (1, TR, TC) per-view cost
-    # scratch
-    slab_ref,      # (8, Wp) VMEM
-    vals_ref,      # (T, TR, TC) VMEM — accumulated tap samples
-    g0_ref, g1_ref,    # (T, TR, TC) f32 clipped x corners
-    fx_ref,        # (T, TR, TC) f32
-    y0_ref,        # (T, TR, TC) f32 clipped y0
-    fy_ref,        # (T, TR, TC) f32
+    out_ref,       # (K, 1, TR, TC) per-view cost (or (T+1, TR, TC) vals)
+    # scratch — leading dim K*T, indexed [k*T + t]
+    slab_ref,      # (8, WIN) VMEM
+    vals_ref,      # (K*T, TR, TC) VMEM — accumulated tap samples
+    g0_ref, g1_ref,    # (K*T, TR, TC) f32 clipped x corners
+    fx_ref,        # (K*T, TR, TC) f32
+    y0_ref,        # (K*T, TR, TC) f32 clipped y0
+    fy_ref,        # (K*T, TR, TC) f32
     sem,           # DMA semaphore
     *,
     offsets: Tuple[Tuple[int, int], ...],
     n_src_rows: int,   # Hp (multiple of 8)
     n_src_cols: int,   # Wp (multiple of 128)
     cost_max: float,
+    cap_radius: float = 0.0,
     emit_vals: bool = False,
 ):
+    """K-stacked sampling kernel (round 4): one invocation evaluates K
+    hypothesis fields for one (tile, view). The slab/window sweep covers the
+    *union* of the K footprints, but each hypothesis carries its own scalar
+    sweep range and is `pl.when`-skipped on (slab, window) steps outside it
+    — so disjoint footprints cost ~the sum, not K x the union, and all K
+    share each DMA'd source block. This replaced 14 separate pallas_calls
+    per band per half-iteration (the reference fuses the same way: one CUDA
+    kernel evaluates all candidates per pixel, PatchMatch.cu:724-998)."""
     s = pl.program_id(2)
     T = len(offsets)
+    K = plane_ref.shape[0]
 
     W = wh_ref[s, 0]
     H = wh_ref[s, 1]
@@ -94,125 +104,175 @@ def _kernel(
 
     xg = xg_ref[:]
     yg = yg_ref[:]
-    n0 = plane_ref[0]
-    n1 = plane_ref[1]
-    n2 = plane_ref[2]
-    w4 = plane_ref[3]
-
-    # m = K_ref^-T n ; scale = m / w  (geometry.homography_apply)
-    k = lambda i: kinvt_ref[0, i]
-    m0 = k(0) * n0 + k(1) * n1 + k(2) * n2
-    m1 = k(3) * n0 + k(4) * n1 + k(5) * n2
-    m2 = k(6) * n0 + k(7) * n1 + k(8) * n2
-    # divisions (not reciprocal-multiply) to match the XLA path's rounding:
-    # coordinate ulps matter — a tap crossing an integer boundary fetches a
-    # different pixel
-    s0 = m0 / w4
-    s1 = m1 / w4
-    s2 = m2 / w4
-
+    kv = lambda i: kinvt_ref[0, i]
     a = lambda i, j: ab_ref[s, 3 * i + j]
     b = lambda i: ab_ref[s, 9 + i]
-    colx = [a(i, 0) - b(i) * s0 for i in range(3)]
-    coly = [a(i, 1) - b(i) * s1 for i in range(3)]
-    col1 = [a(i, 2) - b(i) * s2 for i in range(3)]
-    hp = [colx[i] * xg + coly[i] * yg + col1[i] for i in range(3)]
-
-    # center projection -> out-of-bounds mask (PatchMatch.cu:350-353)
-    inv_z = 1.0 / hp[2]
-    cx = hp[0] * inv_z
-    cy = hp[1] * inv_z
-    oob = ((cx < 0.0) | (cx >= W) | (cy < 0.0) | (cy >= H)
-           | ~jnp.isfinite(cx) | ~jnp.isfinite(cy))
-
-    # ---- per-tap sample coordinates (static tap loop, pure vector) ----
     n_slabs = n_src_rows // 8
-    big = jnp.float32(3.0e38)
-    ymin = jnp.full((TR, TC), big, jnp.float32)
-    ymax = jnp.full((TR, TC), -big, jnp.float32)
-    xmin = jnp.full((TR, TC), big, jnp.float32)
-    xmax = jnp.full((TR, TC), -big, jnp.float32)
-    for t, (dx, dy) in enumerate(offsets):
-        hz = hp[2] + dx * colx[2] + dy * coly[2]
-        iz = 1.0 / hz
-        xs = (hp[0] + dx * colx[0] + dy * coly[0]) * iz
-        ys = (hp[1] + dx * colx[1] + dy * coly[1]) * iz
-        xs = jnp.where(jnp.isfinite(xs), xs, 0.0)
-        ys = jnp.where(jnp.isfinite(ys), ys, 0.0)
-        xs = jnp.clip(xs, 0.0, Wm1)
-        ys = jnp.clip(ys, 0.0, Hm1)
-        x0f = jnp.floor(xs)
-        y0f = jnp.floor(ys)
-        fx_ref[t] = xs - x0f
-        fy_ref[t] = ys - y0f
-        g0 = jnp.minimum(x0f, Wm1)
-        g1 = jnp.minimum(x0f + 1.0, Wm1)
-        y0c = jnp.minimum(y0f, Hm1)
-        g0_ref[t] = g0
-        g1_ref[t] = g1
-        y0_ref[t] = y0c
-        vals_ref[t] = jnp.zeros((TR, TC), jnp.float32)
-        ymin = jnp.minimum(ymin, y0c)
-        ymax = jnp.maximum(ymax, jnp.minimum(y0c + 1.0, Hm1))
-        xmin = jnp.minimum(xmin, g0)
-        xmax = jnp.maximum(xmax, g1)
-
-    # footprint bounds -> scalar sweep ranges (clamped: these only control
-    # how much work runs — masks make out-of-range contributions zero)
     f2i = lambda v: v.astype(jnp.int32)
-    slab_lo = jnp.clip(f2i(jnp.min(ymin)) // 8, 0, n_slabs - 1)
-    slab_hi = jnp.clip(f2i(jnp.max(ymax)) // 8, 0, n_slabs - 1)
-    win_lo = jnp.clip(f2i(jnp.min(xmin)) // WIN, 0, n_src_cols // WIN - 1)
-    win_hi = jnp.clip(f2i(jnp.max(xmax)) // WIN, 0, n_src_cols // WIN - 1)
+    big = jnp.float32(3.0e38)
+
+    bad = []                                  # per-k (TR, TC) oob|capped
+    slab_los, slab_his, win_los, win_his = [], [], [], []
+
+    for k in range(K):
+        n0 = plane_ref[k, 0]
+        n1 = plane_ref[k, 1]
+        n2 = plane_ref[k, 2]
+        w4 = plane_ref[k, 3]
+
+        # m = K_ref^-T n ; scale = m / w  (geometry.homography_apply)
+        m0 = kv(0) * n0 + kv(1) * n1 + kv(2) * n2
+        m1 = kv(3) * n0 + kv(4) * n1 + kv(5) * n2
+        m2 = kv(6) * n0 + kv(7) * n1 + kv(8) * n2
+        # divisions (not reciprocal-multiply) to match the XLA path's
+        # rounding: coordinate ulps matter — a tap crossing an integer
+        # boundary fetches a different pixel
+        s0 = m0 / w4
+        s1 = m1 / w4
+        s2 = m2 / w4
+        colx = [a(i, 0) - b(i) * s0 for i in range(3)]
+        coly = [a(i, 1) - b(i) * s1 for i in range(3)]
+        col1 = [a(i, 2) - b(i) * s2 for i in range(3)]
+        hp = [colx[i] * xg + coly[i] * yg + col1[i] for i in range(3)]
+
+        # center projection -> out-of-bounds mask (PatchMatch.cu:350-353)
+        inv_z = 1.0 / hp[2]
+        cx = hp[0] * inv_z
+        cy = hp[1] * inv_z
+        oob = ((cx < 0.0) | (cx >= W) | (cy < 0.0) | (cy >= H)
+               | ~jnp.isfinite(cx) | ~jnp.isfinite(cy))
+
+        # Footprint cap (round 4): every tap is confined to a per-pixel box
+        # of ±cap_radius around the center projection; hypotheses whose
+        # window stretches beyond it are scored cost_max (their bilateral
+        # ZNCC is degenerate anyway — the window spans >cap_mult x the
+        # nominal extent). This bounds the per-tile sweep range
+        # *arithmetically*: measured on v5e, a random-NORMAL field alone
+        # collapses the uncapped sweep to ~5 Mtaps/s because one
+        # near-grazing pixel's window poisons the whole tile's footprint
+        # union. Mirrored bit-identically in ops/ncc.ncc_eval.
+        if cap_radius > 0.0:
+            ccx = jnp.where(jnp.isfinite(cx), cx, 0.0)
+            ccy = jnp.where(jnp.isfinite(cy), cy, 0.0)
+            bx_lo = ccx - cap_radius
+            bx_hi = ccx + cap_radius
+            by_lo = ccy - cap_radius
+            by_hi = ccy + cap_radius
+        capped = jnp.zeros((TR, TC), jnp.bool_)
+
+        # ---- per-tap sample coordinates (static tap loop, pure vector) ----
+        ymin = jnp.full((TR, TC), big, jnp.float32)
+        ymax = jnp.full((TR, TC), -big, jnp.float32)
+        xmin = jnp.full((TR, TC), big, jnp.float32)
+        xmax = jnp.full((TR, TC), -big, jnp.float32)
+        for t, (dx, dy) in enumerate(offsets):
+            i = k * T + t
+            hz = hp[2] + dx * colx[2] + dy * coly[2]
+            iz = 1.0 / hz
+            xs = (hp[0] + dx * colx[0] + dy * coly[0]) * iz
+            ys = (hp[1] + dx * colx[1] + dy * coly[1]) * iz
+            xs = jnp.where(jnp.isfinite(xs), xs, 0.0)
+            ys = jnp.where(jnp.isfinite(ys), ys, 0.0)
+            if cap_radius > 0.0:
+                capped = (capped | (xs < bx_lo) | (xs > bx_hi)
+                          | (ys < by_lo) | (ys > by_hi))
+                xs = jnp.clip(xs, bx_lo, bx_hi)
+                ys = jnp.clip(ys, by_lo, by_hi)
+            xs = jnp.clip(xs, 0.0, Wm1)
+            ys = jnp.clip(ys, 0.0, Hm1)
+            x0f = jnp.floor(xs)
+            y0f = jnp.floor(ys)
+            fx_ref[i] = xs - x0f
+            fy_ref[i] = ys - y0f
+            g0 = jnp.minimum(x0f, Wm1)
+            g1 = jnp.minimum(x0f + 1.0, Wm1)
+            y0c = jnp.minimum(y0f, Hm1)
+            g0_ref[i] = g0
+            g1_ref[i] = g1
+            y0_ref[i] = y0c
+            vals_ref[i] = jnp.zeros((TR, TC), jnp.float32)
+            ymin = jnp.minimum(ymin, y0c)
+            ymax = jnp.maximum(ymax, jnp.minimum(y0c + 1.0, Hm1))
+            xmin = jnp.minimum(xmin, g0)
+            xmax = jnp.maximum(xmax, g1)
+
+        bad.append(oob | capped)
+        # footprint bounds -> per-k scalar sweep ranges (clamped: these only
+        # control how much work runs — masks zero out-of-range contributions)
+        slab_los.append(jnp.clip(f2i(jnp.min(ymin)) // 8, 0, n_slabs - 1))
+        slab_his.append(jnp.clip(f2i(jnp.max(ymax)) // 8, 0, n_slabs - 1))
+        win_los.append(jnp.clip(f2i(jnp.min(xmin)) // WIN, 0,
+                                n_src_cols // WIN - 1))
+        win_his.append(jnp.clip(f2i(jnp.max(xmax)) // WIN, 0,
+                                n_src_cols // WIN - 1))
+
+    slab_lo = functools.reduce(jnp.minimum, slab_los)
+    slab_hi = functools.reduce(jnp.maximum, slab_his)
+    win_lo = functools.reduce(jnp.minimum, win_los)
+    win_hi = functools.reduce(jnp.maximum, win_his)
 
     def slab_body(sl, _):
         base_row = (sl * 8).astype(jnp.float32)
 
         def win_body(wi, _):
-            off = wi * WIN
-            offf = off.astype(jnp.float32)
-            # DMA only this (slab, window) subblock: 8 KB instead of a
-            # full-width slab row (the full-width copy dominated round-3's
-            # first rewrite at ~450 us/invocation)
-            copy = pltpu.make_async_copy(
-                src_ref.at[s, pl.ds(sl * 8, 8), pl.ds(off, WIN)],
-                slab_ref, sem)
-            copy.start()
-            copy.wait()
-            b0 = slab_ref[:, 0:TC]
-            b1 = slab_ref[:, TC:WIN]
-            # fully static from here: 36 taps x 8 rows x 2 blocks of masked
-            # vector work — no branches, no scalar reads
-            for t in range(T):
-                y0c = y0_ref[t]
-                fy = fy_ref[t]
-                fx = fx_ref[t]
-                l0 = g0_ref[t] - offf
-                l1 = g1_ref[t] - offf
-                w00 = jnp.where((l0 >= 0.0) & (l0 < TC), 1.0 - fx, 0.0)
-                w01 = jnp.where((l1 >= 0.0) & (l1 < TC), fx, 0.0)
-                w10 = jnp.where((l0 >= TC) & (l0 < WIN), 1.0 - fx, 0.0)
-                w11 = jnp.where((l1 >= TC) & (l1 < WIN), fx, 0.0)
-                c00 = jnp.clip(l0, 0.0, TC - 1.0).astype(jnp.int32)
-                c01 = jnp.clip(l1, 0.0, TC - 1.0).astype(jnp.int32)
-                c10 = jnp.clip(l0 - TC, 0.0, TC - 1.0).astype(jnp.int32)
-                c11 = jnp.clip(l1 - TC, 0.0, TC - 1.0).astype(jnp.int32)
-                acc = vals_ref[t]
-                for kk in range(8):
-                    r = base_row + kk
-                    # y-blend weight for this absolute source row; the
-                    # bottom-edge clip (y1 folded onto y0) sums to 1 there
-                    wy = (jnp.where(y0c == r, 1.0 - fy, 0.0)
-                          + jnp.where(jnp.minimum(y0c + 1.0, Hm1) == r,
-                                      fy, 0.0))
-                    r0 = jnp.broadcast_to(b0[kk:kk + 1, :], (TR, TC))
-                    r1 = jnp.broadcast_to(b1[kk:kk + 1, :], (TR, TC))
-                    v = (w00 * jnp.take_along_axis(r0, c00, axis=1)
-                         + w01 * jnp.take_along_axis(r0, c01, axis=1)
-                         + w10 * jnp.take_along_axis(r1, c10, axis=1)
-                         + w11 * jnp.take_along_axis(r1, c11, axis=1))
-                    acc = acc + wy * v
-                vals_ref[t] = acc
+            active = [(sl >= slab_los[k]) & (sl <= slab_his[k])
+                      & (wi >= win_los[k]) & (wi <= win_his[k])
+                      for k in range(K)]
+
+            def tap_sweep(k):
+                # fully static: T taps x 8 rows x 2 blocks of masked vector
+                # work — no branches, no scalar reads
+                offf = (wi * WIN).astype(jnp.float32)
+                b0 = slab_ref[:, 0:TC]
+                b1 = slab_ref[:, TC:WIN]
+                for t in range(T):
+                    i = k * T + t
+                    y0c = y0_ref[i]
+                    fy = fy_ref[i]
+                    fx = fx_ref[i]
+                    l0 = g0_ref[i] - offf
+                    l1 = g1_ref[i] - offf
+                    w00 = jnp.where((l0 >= 0.0) & (l0 < TC), 1.0 - fx, 0.0)
+                    w01 = jnp.where((l1 >= 0.0) & (l1 < TC), fx, 0.0)
+                    w10 = jnp.where((l0 >= TC) & (l0 < WIN), 1.0 - fx, 0.0)
+                    w11 = jnp.where((l1 >= TC) & (l1 < WIN), fx, 0.0)
+                    c00 = jnp.clip(l0, 0.0, TC - 1.0).astype(jnp.int32)
+                    c01 = jnp.clip(l1, 0.0, TC - 1.0).astype(jnp.int32)
+                    c10 = jnp.clip(l0 - TC, 0.0, TC - 1.0).astype(jnp.int32)
+                    c11 = jnp.clip(l1 - TC, 0.0, TC - 1.0).astype(jnp.int32)
+                    acc = vals_ref[i]
+                    for kk in range(8):
+                        r = base_row + kk
+                        # y-blend weight for this absolute source row; the
+                        # bottom-edge clip (y1 folded onto y0) sums to 1
+                        wy = (jnp.where(y0c == r, 1.0 - fy, 0.0)
+                              + jnp.where(jnp.minimum(y0c + 1.0, Hm1) == r,
+                                          fy, 0.0))
+                        r0 = jnp.broadcast_to(b0[kk:kk + 1, :], (TR, TC))
+                        r1 = jnp.broadcast_to(b1[kk:kk + 1, :], (TR, TC))
+                        v = (w00 * jnp.take_along_axis(r0, c00, axis=1)
+                             + w01 * jnp.take_along_axis(r0, c01, axis=1)
+                             + w10 * jnp.take_along_axis(r1, c10, axis=1)
+                             + w11 * jnp.take_along_axis(r1, c11, axis=1))
+                        acc = acc + wy * v
+                    vals_ref[i] = acc
+
+            @pl.when(functools.reduce(jnp.logical_or, active))
+            def _():
+                # DMA only this (slab, window) subblock: 8 KB instead of a
+                # full-width slab row (the full-width copy dominated
+                # round-3's first rewrite at ~450 us/invocation); the one
+                # copy feeds all K active hypotheses' taps.
+                copy = pltpu.make_async_copy(
+                    src_ref.at[s, pl.ds(sl * 8, 8), pl.ds(wi * WIN, WIN)],
+                    slab_ref, sem)
+                copy.start()
+                copy.wait()
+                for k in range(K):
+                    if K == 1:
+                        tap_sweep(0)
+                    else:
+                        pl.when(active[k])(functools.partial(tap_sweep, k))
             return 0
 
         jax.lax.fori_loop(win_lo, win_hi + 1, win_body, 0)
@@ -221,34 +281,36 @@ def _kernel(
     jax.lax.fori_loop(slab_lo, slab_hi + 1, slab_body, 0)
 
     if emit_vals:
-        # sorted-scatter path: raw tap samples out (ZNCC runs outside, in
-        # the original pixel order, so the per-pixel w/wr stacks never ride
-        # the permutation)
+        # sorted-scatter path (K == 1): raw tap samples out (ZNCC runs
+        # outside, in the original pixel order, so the per-pixel w/wr
+        # stacks never ride the permutation)
+        assert K == 1
         for t in range(T):
             out_ref[t] = vals_ref[t]
-        out_ref[T] = jnp.where(oob, 1.0, 0.0)
+        out_ref[T] = jnp.where(bad[0], 1.0, 0.0)
         return
 
     # ZNCC reduction against precomputed reference moments (ops/ncc.ncc_eval)
-    sum_src = jnp.zeros((TR, TC), jnp.float32)
-    sum_src2 = jnp.zeros((TR, TC), jnp.float32)
-    sum_rs = jnp.zeros((TR, TC), jnp.float32)
-    for t in range(T):
-        v = vals_ref[t]
-        wv = w_ref[t] * v
-        sum_src = sum_src + wv
-        sum_src2 = sum_src2 + wv * v
-        sum_rs = sum_rs + wr_ref[t] * v
-
     inv_w = invw_ref[:]
-    m_src = sum_src * inv_w
-    var_src = sum_src2 * inv_w - m_src * m_src
-    covar = sum_rs * inv_w - mref_ref[:] * m_src
+    m_ref = mref_ref[:]
     var_ref = varref_ref[:]
-    degenerate = (var_ref < K_MIN_VAR) | (var_src < K_MIN_VAR)
-    denom = jnp.sqrt(jnp.maximum(var_ref * var_src, 1e-30))
-    ncc = jnp.clip(1.0 - covar / denom, 0.0, cost_max)
-    out_ref[0] = jnp.where(oob | degenerate, cost_max, ncc)
+    for k in range(K):
+        sum_src = jnp.zeros((TR, TC), jnp.float32)
+        sum_src2 = jnp.zeros((TR, TC), jnp.float32)
+        sum_rs = jnp.zeros((TR, TC), jnp.float32)
+        for t in range(T):
+            v = vals_ref[k * T + t]
+            wv = w_ref[t] * v
+            sum_src = sum_src + wv
+            sum_src2 = sum_src2 + wv * v
+            sum_rs = sum_rs + wr_ref[t] * v
+        m_src = sum_src * inv_w
+        var_src = sum_src2 * inv_w - m_src * m_src
+        covar = sum_rs * inv_w - m_ref * m_src
+        degenerate = (var_ref < K_MIN_VAR) | (var_src < K_MIN_VAR)
+        denom = jnp.sqrt(jnp.maximum(var_ref * var_src, 1e-30))
+        ncc = jnp.clip(1.0 - covar / denom, 0.0, cost_max)
+        out_ref[k, 0] = jnp.where(bad[k] | degenerate, cost_max, ncc)
 
 
 def _pad_to(a, mults, fill=0.0, edge=False):
@@ -268,8 +330,8 @@ def _pad_to(a, mults, fill=0.0, edge=False):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "cost_max", "interpret"))
-def ncc_eval_pallas(
+    static_argnames=("offsets", "cost_max", "cap_radius", "interpret"))
+def ncc_eval_pallas_multi(
     refside: NCCRefSide,
     src_imgs: Array,     # (S, Hp, Wp) — Hp % 8 == 0, Wp % 128 == 0
     src_widths: Array,   # (S,) float valid extents
@@ -277,24 +339,30 @@ def ncc_eval_pallas(
     A: Array,            # (S, 3, 3)
     b: Array,            # (S, 3)
     K_ref: Array,        # (3, 3)
-    plane: Array,        # (R, C, 4)
+    planes: Array,       # (K, R, C, 4) — K stacked hypothesis fields
     x: Array, y: Array,  # (R, C) global pixel coordinates
     offsets: Tuple[Tuple[int, int], ...],
     cost_max: float = 2.0,
+    cap_radius: float = 0.0,
     interpret: bool = False,
 ) -> Array:
-    """Drop-in replacement for ops.ncc.ncc_eval on 2D pixel sets.
+    """Batched ncc_eval over K hypothesis fields: returns (K, S, R, C).
 
-    Returns (S, R, C) bilateral-ZNCC costs. ``src_imgs`` must be padded to
-    (8, 256) row/col multiples (build_solve_data pads to the lcm; valid
-    extents come from src_widths/heights as usual).
-    """
+    One kernel invocation per (tile, view) evaluates all K hypotheses,
+    amortizing source-slab DMA, the refside stacks and per-call overhead —
+    the solver's 8 propagation candidates + current + 5 refinement trials
+    run as two calls instead of 14 (VERDICT r3 #3). ``src_imgs`` must be
+    padded to (8, 256) row/col multiples (build_solve_data pads; valid
+    extents come from src_widths/heights as usual). Per-hypothesis results
+    are bit-identical to K separate calls: the union sweep's extra
+    (slab, window) steps contribute exact zeros in the same accumulation
+    order."""
     S, Hp, Wp = src_imgs.shape
     if Wp % WIN:
         src_imgs = _pad_to(src_imgs, (0, 8, WIN))
         S, Hp, Wp = src_imgs.shape
     assert Hp % 8 == 0 and Wp % WIN == 0, (Hp, Wp)
-    R, C = x.shape
+    K, R, C, _ = planes.shape
     T = len(offsets)
 
     pad2 = lambda a: _pad_to(a, (TR, TC))
@@ -309,10 +377,11 @@ def ncc_eval_pallas(
     # padded pixels: edge-replicated planes (footprint, see _pad_to) with
     # w=1 fallback against 0-division; their cost is cropped anyway
     planeP = jnp.moveaxis(
-        _pad_to(jnp.moveaxis(plane, -1, 0), (0, TR, TC), edge=True), 0, -1)
+        _pad_to(jnp.moveaxis(planes, -1, 0), (0, 0, TR, TC), edge=True),
+        0, -1)
     planeP = planeP.at[..., 3].set(
         jnp.where(planeP[..., 3] == 0.0, 1.0, planeP[..., 3]))
-    planeP = jnp.moveaxis(planeP, -1, 0)  # (4, Rp, Cp)
+    planeP = jnp.moveaxis(planeP, -1, 1)  # (K, 4, Rp, Cp)
 
     ab = jnp.concatenate([A.reshape(S, 9), b.reshape(S, 3)], axis=1)
     kinvt = jnp.swapaxes(geo.K_inv_pinhole(K_ref), -1, -2).reshape(1, 9)
@@ -323,7 +392,8 @@ def ncc_eval_pallas(
 
     out = pl.pallas_call(
         functools.partial(_kernel, offsets=tuple(offsets),
-                          n_src_rows=Hp, n_src_cols=Wp, cost_max=cost_max),
+                          n_src_rows=Hp, n_src_cols=Wp, cost_max=cost_max,
+                          cap_radius=cap_radius),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ab
@@ -336,28 +406,52 @@ def ncc_eval_pallas(
             pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, TR, TC), lambda ty, tx, s_: (0, ty, tx),
-                         memory_space=pltpu.VMEM),   # plane
+            pl.BlockSpec((K, 4, TR, TC), lambda ty, tx, s_: (0, 0, ty, tx),
+                         memory_space=pltpu.VMEM),   # planes
             pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),  # x
             pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),  # y
             pl.BlockSpec(memory_space=pltpu.ANY),    # src (HBM)
         ],
-        out_specs=pl.BlockSpec((1, TR, TC), lambda ty, tx, s_: (s_, ty, tx),
+        out_specs=pl.BlockSpec((K, 1, TR, TC),
+                               lambda ty, tx, s_: (0, s_, ty, tx),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, Rp, Cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((K, S, Rp, Cp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, WIN), jnp.float32),       # slab-window
-            pltpu.VMEM((T, TR, TC), jnp.float32),    # vals
-            pltpu.VMEM((T, TR, TC), jnp.float32),    # g0
-            pltpu.VMEM((T, TR, TC), jnp.float32),    # g1
-            pltpu.VMEM((T, TR, TC), jnp.float32),    # fx
-            pltpu.VMEM((T, TR, TC), jnp.float32),    # y0
-            pltpu.VMEM((T, TR, TC), jnp.float32),    # fy
+            pltpu.VMEM((8, WIN), jnp.float32),        # slab-window
+            pltpu.VMEM((K * T, TR, TC), jnp.float32),  # vals
+            pltpu.VMEM((K * T, TR, TC), jnp.float32),  # g0
+            pltpu.VMEM((K * T, TR, TC), jnp.float32),  # g1
+            pltpu.VMEM((K * T, TR, TC), jnp.float32),  # fx
+            pltpu.VMEM((K * T, TR, TC), jnp.float32),  # y0
+            pltpu.VMEM((K * T, TR, TC), jnp.float32),  # fy
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(ab, kinvt, wh, w_, wr_, invw, mref, varref, planeP, xP, yP, src_imgs)
-    return out[:, :R, :C]
+    return out[:, :, :R, :C]
+
+
+def ncc_eval_pallas(
+    refside: NCCRefSide,
+    src_imgs: Array,
+    src_widths: Array,
+    src_heights: Array,
+    A: Array,
+    b: Array,
+    K_ref: Array,
+    plane: Array,        # (R, C, 4)
+    x: Array, y: Array,  # (R, C) global pixel coordinates
+    offsets: Tuple[Tuple[int, int], ...],
+    cost_max: float = 2.0,
+    cap_radius: float = 0.0,
+    interpret: bool = False,
+) -> Array:
+    """Drop-in replacement for ops.ncc.ncc_eval on 2D pixel sets: the K=1
+    case of :func:`ncc_eval_pallas_multi`. Returns (S, R, C) costs."""
+    return ncc_eval_pallas_multi(
+        refside, src_imgs, src_widths, src_heights, A, b, K_ref,
+        plane[None], x, y, tuple(offsets), cost_max,
+        cap_radius=cap_radius, interpret=interpret)[0]
 
 
 def _zncc_from_samples(refside: NCCRefSide, vals: Array, oob: Array,
@@ -378,7 +472,7 @@ def _zncc_from_samples(refside: NCCRefSide, vals: Array, oob: Array,
 
 
 def _sample_view_vals(src_img, wh_row, ab_row, kinvt, plane4, xf, yf,
-                      offsets, cost_max, interpret):
+                      offsets, cost_max, interpret, cap_radius=0.0):
     """Raw tap samples for ONE view over a flat pixel stream.
 
     Inputs are (N,)-flat (already sorted for footprint coherence); returns
@@ -397,6 +491,7 @@ def _sample_view_vals(src_img, wh_row, ab_row, kinvt, plane4, xf, yf,
     y2 = pad1(yf).reshape(n_rows_p, TC)
     p2 = jnp.moveaxis(pad1(plane4).reshape(n_rows_p, TC, 4), -1, 0)
     p2 = p2.at[3].set(jnp.where(p2[3] == 0.0, 1.0, p2[3]))
+    p2 = p2[None]  # (1, 4, n_rows_p, TC) — the kernel's K axis
 
     dummy_t = jnp.zeros((T, TR, TC), jnp.float32)
     dummy_1 = jnp.zeros((TR, TC), jnp.float32)
@@ -407,7 +502,8 @@ def _sample_view_vals(src_img, wh_row, ab_row, kinvt, plane4, xf, yf,
 
     out = pl.pallas_call(
         functools.partial(_kernel, offsets=tuple(offsets), n_src_rows=Hp,
-                          n_src_cols=Wp, cost_max=cost_max, emit_vals=True),
+                          n_src_cols=Wp, cost_max=cost_max,
+                          cap_radius=cap_radius, emit_vals=True),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ab (1, 12)
@@ -418,7 +514,7 @@ def _sample_view_vals(src_img, wh_row, ab_row, kinvt, plane4, xf, yf,
             pl.BlockSpec((TR, TC), zmap2, memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, TC), zmap2, memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, TC), zmap2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, TR, TC), lambda ty, tx, s_: (0, ty, tx),
+            pl.BlockSpec((1, 4, TR, TC), lambda ty, tx, s_: (0, 0, ty, tx),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),
@@ -446,7 +542,7 @@ def _sample_view_vals(src_img, wh_row, ab_row, kinvt, plane4, xf, yf,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "cost_max", "interpret"))
+    static_argnames=("offsets", "cost_max", "cap_radius", "interpret"))
 def ncc_eval_pallas_sorted(
     refside: NCCRefSide,
     src_imgs: Array,     # (S, Hp, Wp)
@@ -459,6 +555,7 @@ def ncc_eval_pallas_sorted(
     x: Array, y: Array,  # (R, C)
     offsets: Tuple[Tuple[int, int], ...],
     cost_max: float = 2.0,
+    cap_radius: float = 0.0,
     interpret: bool = False,
 ) -> Array:
     """ncc_eval for *incoherent* (e.g. per-pixel-random-depth) plane fields.
@@ -506,7 +603,8 @@ def ncc_eval_pallas_sorted(
         plane_s = jnp.stack([p0, p1, p2, p3], axis=-1)
         vals_s = _sample_view_vals(src_imgs[s], wh[s:s + 1], ab[s:s + 1],
                                    kinvt, plane_s, xs_, ys_,
-                                   tuple(offsets), cost_max, interpret)
+                                   tuple(offsets), cost_max, interpret,
+                                   cap_radius=cap_radius)
         inv = jnp.argsort(ids_s)
         vals = jnp.take(vals_s, inv, axis=1)        # back to pixel order
         samples = vals[:T].reshape(T, R, C)

@@ -310,35 +310,59 @@ def _band_step(
     sampler = params.sampler
     if sampler == "auto":
         sampler = "pallas" if jax.default_backend() == "tpu" else "xla"
+    cap = params.cap_radius(scale)
 
     def ncc_xla(plane):
         return ncc_eval(refside, data.src_imgs, data.src_widths,
                         data.src_heights, data.A, data.b, data.K_ref,
-                        plane, x_p, y_p, offsets, params.cost_max)
+                        plane, x_p, y_p, offsets, params.cost_max,
+                        cap_radius=cap)
 
     if sampler in ("pallas", "pallas_sorted"):
         from mpmvs_tpu.ops.pallas_ncc import (ncc_eval_pallas,
+                                              ncc_eval_pallas_multi,
                                               ncc_eval_pallas_sorted)
+        # interpret-mode off-TPU so explicit sampler="pallas*" still runs
+        # (e.g. CPU tests) instead of failing at Mosaic compile (ADVICE r3)
+        interp = jax.default_backend() != "tpu"
 
         def ncc(plane):
             return ncc_eval_pallas(
                 refside, data.src_imgs, data.src_widths, data.src_heights,
                 data.A, data.b, data.K_ref, plane, x_p, y_p,
-                tuple(offsets), params.cost_max)
+                tuple(offsets), params.cost_max, cap_radius=cap,
+                interpret=interp)
+
+        def ncc_batch(planes):
+            # K-stacked kernel: all hypotheses share each DMA'd source
+            # block; one pallas_call per (band, view grid) instead of K
+            return ncc_eval_pallas_multi(
+                refside, data.src_imgs, data.src_widths, data.src_heights,
+                data.A, data.b, data.K_ref, planes, x_p, y_p,
+                tuple(offsets), params.cost_max, cap_radius=cap,
+                interpret=interp)
 
         if sampler == "pallas_sorted":
             # opt-in: bucket-sorted kernel sampling for the random-depth
-            # trials (not yet the default — see ncc_eval_pallas_sorted)
+            # trials (see ncc_eval_pallas_sorted)
             def ncc_scatter(plane):
                 return ncc_eval_pallas_sorted(
                     refside, data.src_imgs, data.src_widths,
                     data.src_heights, data.A, data.b, data.K_ref, plane,
-                    x_p, y_p, tuple(offsets), params.cost_max)
+                    x_p, y_p, tuple(offsets), params.cost_max,
+                    cap_radius=cap, interpret=interp)
+        elif params.coherent_random and cap > 0.0:
+            # banded random-depth draws + the footprint cap keep every
+            # trial's per-tile sweep bounded — the sweep kernel handles
+            # them directly (round 4; kills the XLA-gather fallback that
+            # was ~80% of projected solve time in round 3)
+            ncc_scatter = ncc
         else:
             ncc_scatter = ncc_xla
     else:
         ncc = ncc_xla
         ncc_scatter = ncc_xla
+        ncc_batch = lambda planes: jax.lax.map(ncc, planes)
 
     def gcost(plane):
         return geom_consistency_cost(
@@ -348,9 +372,14 @@ def _band_step(
             plane, x_p, y_p, params.geom_cost_max)
 
     # ---- 1. candidate harvesting + their multi-view photometric costs
+    # (the current hypothesis rides the same batched kernel call — 9
+    # stacked fields, one pallas_call per view grid; its cost is consumed
+    # in step 4)
     cand_planes, cand_valid = _select_candidates_packed(
         cost_s, plane_s, halo, rows, phase, x_int)
-    cost_array = jax.lax.map(ncc, cand_planes)  # (8, S, rows, Wh)
+    batch9 = ncc_batch(jnp.concatenate([cand_planes, plane_c[None]], axis=0))
+    cost_array = batch9[:8]  # (8, S, rows, Wh)
+    cost_vec_now = batch9[8]
 
     # ---- 2. Monte-Carlo view re-selection
     neighbor_sel = jnp.stack(
@@ -373,7 +402,7 @@ def _band_step(
     min_idx = jnp.argmin(final_costs, axis=0)  # (rows, Wh)
 
     # ---- 4. current hypothesis cost under the new view weights
-    cost_vec_now = ncc(plane_c)
+    # (cost_vec_now came from the step-1 batched call)
     geom_vec_now = gcost(plane_c) if geom else None
     cost_now, geom_now = _weighted_total(cost_vec_now, weights, weight_norm,
                                          geom_vec_now, params.geom_weight)
@@ -468,11 +497,19 @@ def _band_step(
     depth_sigma = (data.depth_max - data.depth_min) * params.prior_depth_sigma_frac
 
     shape_p = x_p.shape
+    if params.coherent_random:
+        # tile-banded draw (documented deviation — see banded_uniform)
+        draw_depth = lambda k: pmrand.banded_uniform(
+            k, shape_p, data.depth_min, data.depth_max,
+            params.random_band_frac)
+    else:
+        draw_depth = lambda k: jax.random.uniform(
+            k, shape_p, jnp.float32, minval=data.depth_min,
+            maxval=data.depth_max)
     if prior and not params.legacy_prior_refinement:
         # intended semantics: prior-guided random draw inside the mask
         prior_depth_f = geo.depth_from_plane(data.K_ref, prior_planes_p, x_p, y_p)
-        d_rand_u = jax.random.uniform(k_ref1, shape_p, jnp.float32,
-                                      minval=data.depth_min, maxval=data.depth_max)
+        d_rand_u = draw_depth(k_ref1)
         d_rand_p = (jax.random.uniform(k_prior, shape_p, jnp.float32) * 6.0
                     * depth_sigma + prior_depth_f - 3.0 * depth_sigma)
         depth_rand = jnp.where(prior_mask_p, d_rand_p, d_rand_u)
@@ -482,8 +519,7 @@ def _band_step(
         normal_rand = jnp.where(prior_mask_p[..., None], n_rand_p, n_rand_u)
     else:
         # reference behavior: the second block always runs (PatchMatch.cu:660)
-        depth_rand = jax.random.uniform(k_ref1, shape_p, jnp.float32,
-                                        minval=data.depth_min, maxval=data.depth_max)
+        depth_rand = draw_depth(k_ref1)
         normal_rand = pmrand.random_normal_field(k_ref2, data.K_ref, x_p, y_p)
 
     p = params.refine_perturbation
@@ -494,20 +530,25 @@ def _band_step(
 
     trial_d = [depth_rand, depth_now, depth_rand, depth_now, depth_pert]
     trial_n = [normal_now, normal_rand, normal_rand, normal_pert, normal_now]
-    # Trials with per-pixel *random depth* project incoherently: the sweep
-    # kernel's cost follows the tile footprint, which for a random-depth
-    # field is the whole projected depth range (measured 3.6 Mtaps/s at
-    # 3200x2130). They use the sorted-scatter kernel path instead: pixels
-    # bucketed per view by projected (slab, window) before sampling
-    # (ncc_eval_pallas_sorted), or plain XLA gathers off-TPU.
+    # Trials with per-pixel *random depth* project incoherently. With the
+    # round-4 defaults (tile-banded draws + footprint cap) every trial's
+    # sweep is bounded, so all 5 batch through the K-stacked kernel; the
+    # sorted-scatter / XLA fallbacks remain for the legacy full-range draw
+    # (sampler="pallas_sorted" or coherent_random=False).
     trial_scattered = [True, False, True, False, False]
+    trial_planes = [geo.plane_from_depth_normal(data.K_ref, x_p, y_p, d, n)
+                    for d, n in zip(trial_d, trial_n)]
+    if ncc_scatter is ncc:
+        trial_costs = ncc_batch(jnp.stack(trial_planes))  # (5, S, rows, Wh)
+    else:
+        trial_costs = [(ncc_scatter if scat else ncc)(p)
+                       for p, scat in zip(trial_planes, trial_scattered)]
 
     if prior:
         prior_depth_f = geo.depth_from_plane(data.K_ref, prior_planes_p, x_p, y_p)
 
-    for d_i, n_i, scat in zip(trial_d, trial_n, trial_scattered):
-        plane_i = geo.plane_from_depth_normal(data.K_ref, x_p, y_p, d_i, n_i)
-        c_v = (ncc_scatter if scat else ncc)(plane_i)
+    for d_i, n_i, plane_i, c_v in zip(trial_d, trial_n, trial_planes,
+                                      trial_costs):
         g_v = gcost(plane_i) if geom else None
         t_cost, t_geom = _weighted_total(c_v, weights, weight_norm, g_v,
                                          params.geom_weight)

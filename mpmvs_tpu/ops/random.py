@@ -57,6 +57,35 @@ def random_plane_field(key, K: Array, x: Array, y: Array,
     return geo.plane_from_depth_normal(K, x, y, depth, normal)
 
 
+def banded_uniform(key, shape, minval, maxval, frac: float,
+                   tile=(8, 128)) -> Array:
+    """Tile-coherent uniform draw over [minval, maxval].
+
+    Each ``tile`` block draws one band center c ~ U(min+h, max-h) with
+    h = frac*(max-min)/2; its pixels then draw U(c-h, c+h). The marginal
+    per-pixel law is the trapezoidal uniform⊛uniform with full support on
+    [min, max] (flat except ramps of width 2h at the edges), but the values
+    inside one tile span at most ``frac`` of the range — which keeps the
+    Pallas sweep kernel's per-tile projected footprint small (a per-pixel
+    full-range draw, the reference's semantics at PatchMatch.cu:221-224 and
+    :655, makes every 8x128 tile's footprint cover the whole projected depth
+    range: measured 3.7 Mtaps/s vs 687 coherent at 3200x2130 on v5e).
+    Documented deviation; ``PatchMatchParams.coherent_random`` controls it.
+    """
+    assert len(shape) == 2, shape
+    k_c, k_j = jax.random.split(key)
+    th, tw = tile
+    nty, ntx = -(-shape[0] // th), -(-shape[1] // tw)
+    rng = maxval - minval
+    half = 0.5 * frac * rng
+    centers = jax.random.uniform(k_c, (nty, ntx), jnp.float32,
+                                 minval=minval + half, maxval=maxval - half)
+    centers = jnp.repeat(jnp.repeat(centers, th, 0), tw, 1)[:shape[0], :shape[1]]
+    jitter = jax.random.uniform(k_j, shape, jnp.float32,
+                                minval=-half, maxval=half)
+    return jnp.clip(centers + jitter, minval, maxval)
+
+
 def euler_xyz(a1: Array, a2: Array, a3: Array) -> Array:
     """(…, 3, 3) rotation from XYZ Euler angles — the exact matrix of
     GeneratePerturbedNormal (PatchMatch.cu:475-484)."""

@@ -56,6 +56,25 @@ class PatchMatchParams:
     #                     through the bucket-sorted kernel (opt-in);
     #   "xla"    — force XLA gathers everywhere.
     sampler: str = "auto"
+    # Footprint cap (documented deviation, round 4): hypotheses whose
+    # projected NCC window leaves a box of ±footprint_cap_mult * (window
+    # radius 5*2^scale) around the center projection cost cost_max. Applied
+    # identically by both samplers (ops/ncc.ncc_eval, ops/pallas_ncc). This
+    # bounds the Pallas sweep kernel's per-tile work arithmetically — a
+    # single near-grazing random normal otherwise poisons its whole tile's
+    # footprint (measured ~5 Mtaps/s vs ~690 coherent on v5e). Capped
+    # hypotheses are extreme >cap_mult x anisotropic stretches whose
+    # bilateral ZNCC is meaningless; the reference simply pays the texture
+    # fetches for them (PatchMatch.cu:363-377). 0 disables.
+    footprint_cap_mult: float = 6.0
+    # Tile-coherent random depth draws (documented deviation, round 4): init
+    # and the 2 random-depth refinement trials draw depths banded per 8x128
+    # kernel tile (ops/random.banded_uniform) instead of per-pixel over the
+    # full range, so their evals run in the sweep kernel instead of the
+    # ~33 Mtaps/s XLA gather fallback (~80% of projected solve time in r3).
+    # Full-range coverage comes from re-drawing every half-iteration.
+    coherent_random: bool = True
+    random_band_frac: float = 1.0 / 32.0  # band width as a range fraction
     # Execution granularity of solve_view:
     #   "fused"   — the whole run is one XLA program (CPU tests, vmapped
     #               batches, real pod chips);
@@ -70,6 +89,12 @@ class PatchMatchParams:
     @property
     def ncc_taps(self) -> int:
         return self.ncc_taps_per_axis * self.ncc_taps_per_axis
+
+    def cap_radius(self, scale: int) -> float:
+        """Footprint-cap box half-width in px for one scale (0 = off)."""
+        if self.footprint_cap_mult <= 0.0:
+            return 0.0
+        return self.footprint_cap_mult * 5.0 * (2 ** scale)
 
     def tap_offsets(self, scale: int):
         """Static window offsets for one scale: step 2*2^scale, 6 taps per

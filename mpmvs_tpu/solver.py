@@ -99,16 +99,19 @@ def build_solve_data(
 
 
 def _ncc_sampler(params: PatchMatchParams):
-    """ncc_eval-compatible callable for *incoherent* (random-plane) fields.
+    """ncc_eval-compatible callable for the init (random-plane) scoring.
 
-    Init fields are per-pixel random, so their per-tile projected footprint
-    spans the whole depth range — the plain sweep kernel degrades there
-    (3.6 Mtaps/s at 3200x2130). On TPU the sorted-scatter kernel is used
-    (per-view bucketing by projected slab/window restores tiny footprints);
-    elsewhere the XLA gather path."""
+    With ``coherent_random`` + the footprint cap (the round-4 defaults) the
+    init field is tile-banded and every hypothesis's sweep is bounded, so
+    the plain Pallas sweep kernel handles it. ``pallas_sorted`` instead
+    buckets pixels by projected (slab, window) per view (opt-in). Without
+    either, incoherent fields fall back to XLA gathers (~33 Mtaps/s at
+    3200x2130 on v5e)."""
     sampler = params.sampler
     if sampler == "auto":
         sampler = "pallas" if jax.default_backend() == "tpu" else "xla"
+    cap = params.cap_radius(params.max_scale)
+    interp = jax.default_backend() != "tpu"
     if sampler == "pallas_sorted":
         from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas_sorted
 
@@ -116,14 +119,34 @@ def _ncc_sampler(params: PatchMatchParams):
             return ncc_eval_pallas_sorted(
                 refside, data.src_imgs, data.src_widths, data.src_heights,
                 data.A, data.b, data.K_ref, plane, xb, yb, tuple(offsets),
-                params.cost_max)
+                params.cost_max, cap_radius=cap, interpret=interp)
+        return fn
+    if sampler == "pallas" and params.coherent_random and cap > 0.0:
+        from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas
+
+        def fn(refside, data, plane, xb, yb, offsets):
+            return ncc_eval_pallas(
+                refside, data.src_imgs, data.src_widths, data.src_heights,
+                data.A, data.b, data.K_ref, plane, xb, yb, tuple(offsets),
+                params.cost_max, cap_radius=cap, interpret=interp)
         return fn
 
     def fn(refside, data, plane, xb, yb, offsets):
         return ncc_eval(refside, data.src_imgs, data.src_widths,
                         data.src_heights, data.A, data.b, data.K_ref,
-                        plane, xb, yb, offsets, params.cost_max)
+                        plane, xb, yb, offsets, params.cost_max,
+                        cap_radius=cap)
     return fn
+
+
+def _init_band_rows(band_rows: int, H: int) -> int:
+    """Init band height: 8-row aligned unless a single band covers the
+    image, so every band start is a multiple of 8 and the banded-random
+    draw tiles (8 rows) coincide with the Pallas kernel's tiles."""
+    br = min(band_rows, H)
+    if br < H and br % 8:
+        br = max(8, br - br % 8)
+    return br
 
 
 def _initial_score(data: SolveData, params: PatchMatchParams,
@@ -136,7 +159,7 @@ def _initial_score(data: SolveData, params: PatchMatchParams,
     H, W = data.ref_img.shape
     offsets = params.tap_offsets(params.max_scale)
     halo = step_halo(params.max_scale)
-    br = min(band_rows, H)
+    br = _init_band_rows(band_rows, H)
     n_bands = -(-H // br)
     Hb = n_bands * br
     pad_b = Hb - H
@@ -313,6 +336,18 @@ def _init_plane(data: SolveData, params, key, mode: str,
     H, W = data.ref_img.shape
     x, y = geo.pixel_grid(H, W)
     if mode == "photometric":
+        if params.coherent_random:
+            # tile-banded depth draw (documented deviation; see
+            # ops/random.banded_uniform): init scoring then runs in the
+            # Pallas sweep kernel. The init bands are 8-row aligned
+            # (_initial_score) so draw tiles coincide with kernel tiles.
+            k_n, k_d = jax.random.split(key)
+            normal = pmrand.random_normal_field(k_n, data.K_ref, x, y)
+            depth = pmrand.banded_uniform(k_d, x.shape, data.depth_min,
+                                          data.depth_max,
+                                          params.random_band_frac)
+            return geo.plane_from_depth_normal(data.K_ref, x, y, depth,
+                                               normal)
         return pmrand.random_plane_field(key, data.K_ref, x, y,
                                          data.depth_min, data.depth_max)
     n_cam = geo.normal_world_to_cam(data.R_ref, warm.normal)
@@ -421,7 +456,7 @@ def solve_view_stepped(
     k_init, k_iter = jax.random.split(key)
     plane = _init_plane_jit(data, params, k_init, mode, warm)
     halo0 = step_halo(params.max_scale)
-    br = min(band_rows, H)
+    br = _init_band_rows(band_rows, H)
     n_bands = -(-H // br)
     pad_b = n_bands * br - H
     ref_pad = jnp.pad(data.ref_img, ((halo0, halo0 + pad_b), (0, 0)),

@@ -101,6 +101,108 @@ class TestBilateralKernel:
         np.testing.assert_allclose(out, 0.7, atol=1e-5)
 
 
+def test_footprint_cap_parity_random_planes(setup):
+    """With the footprint cap on, the kernel and the XLA path must agree on
+    a random-plane field — including which hypotheses get capped to
+    cost_max (the cap detection arithmetic is mirrored bit-for-bit)."""
+    scene, params, data = setup
+    offsets = params.tap_offsets(0)
+    H, W = data.ref_img.shape
+    r0, rows = 8, 16
+    x, y = geo.pixel_grid(rows, W)
+    y = y + r0
+    from mpmvs_tpu.ops import random as pmrand
+    plane = pmrand.random_plane_field(jax.random.PRNGKey(11), data.K_ref,
+                                      x, y, data.depth_min, data.depth_max)
+    cap = params.cap_radius(0)
+    assert cap > 0.0
+    refside = ncc_refside(data.ref_img, r0, rows, offsets,
+                          params.sigma_spatial, params.sigma_color)
+    args = (data.src_imgs, data.src_widths, data.src_heights,
+            data.A, data.b, data.K_ref, plane, x, y)
+    c_xla = np.asarray(ncc_eval(refside, *args, offsets, params.cost_max,
+                                cap_radius=cap))
+    c_pal = np.asarray(ncc_eval_pallas(refside, *args, tuple(offsets),
+                                       params.cost_max, cap_radius=cap,
+                                       interpret=True))
+    np.testing.assert_allclose(c_pal, c_xla, atol=2e-4)
+    # the cap must actually fire somewhere on a wild random field, and
+    # uncapped evaluation must differ there
+    c_free = np.asarray(ncc_eval(refside, *args, offsets, params.cost_max))
+    fired = (c_xla == params.cost_max) & (c_free != params.cost_max)
+    assert fired.any()
+
+
+def test_footprint_cap_no_op_on_gt_plane(setup):
+    """A well-behaved (ground-truth) plane field never trips the cap: the
+    capped cost equals the uncapped cost everywhere."""
+    scene, params, data = setup
+    offsets = params.tap_offsets(0)
+    H, W = data.ref_img.shape
+    r0, rows = 12, 16
+    x, y = geo.pixel_grid(rows, W)
+    y = y + r0
+    gt_depth = jnp.asarray(scene.gt_depth[0][r0:r0 + rows])
+    n = jnp.concatenate([jnp.zeros((rows, W, 2)), -jnp.ones((rows, W, 1))], -1)
+    plane = geo.plane_from_depth_normal(data.K_ref, x, y, gt_depth, n)
+    refside = ncc_refside(data.ref_img, r0, rows, offsets,
+                          params.sigma_spatial, params.sigma_color)
+    args = (data.src_imgs, data.src_widths, data.src_heights,
+            data.A, data.b, data.K_ref, plane, x, y)
+    c_free = np.asarray(ncc_eval(refside, *args, offsets, params.cost_max))
+    c_cap = np.asarray(ncc_eval(refside, *args, offsets, params.cost_max,
+                                cap_radius=params.cap_radius(0)))
+    np.testing.assert_array_equal(c_cap, c_free)
+
+
+def test_multi_matches_single_calls(setup):
+    """The K-stacked kernel must reproduce K independent single calls
+    bit-for-bit (the union sweep adds exact zeros in the same order) on a
+    solver-realistic hypothesis mix: GT plane, banded-random depth with
+    random normals, and a perturbed field."""
+    from mpmvs_tpu.ops import random as pmrand
+    from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas_multi
+
+    scene, params, data = setup
+    offsets = tuple(params.tap_offsets(0))
+    H, W = data.ref_img.shape
+    r0, rows = 8, 16
+    x, y = geo.pixel_grid(rows, W)
+    y = y + r0
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3 = jax.random.split(key, 3)
+    gt_depth = jnp.asarray(scene.gt_depth[0][r0:r0 + rows])
+    n_flat = jnp.concatenate([jnp.zeros((rows, W, 2)), -jnp.ones((rows, W, 1))], -1)
+    p_gt = geo.plane_from_depth_normal(data.K_ref, x, y, gt_depth, n_flat)
+    d_band = pmrand.banded_uniform(k1, (rows, W), data.depth_min,
+                                   data.depth_max, params.random_band_frac)
+    n_rand = pmrand.random_normal_field(k2, data.K_ref, x, y)
+    p_band = geo.plane_from_depth_normal(data.K_ref, x, y, d_band, n_rand)
+    n_pert = pmrand.perturbed_normal_field(k3, data.K_ref, x, y, n_flat, 0.3)
+    p_pert = geo.plane_from_depth_normal(data.K_ref, x, y, gt_depth, n_pert)
+    planes = jnp.stack([p_gt, p_band, p_pert])
+    cap = params.cap_radius(0)
+
+    refside = ncc_refside(data.ref_img, r0, rows, offsets,
+                          params.sigma_spatial, params.sigma_color)
+    args = (data.src_imgs, data.src_widths, data.src_heights,
+            data.A, data.b, data.K_ref)
+    multi = np.asarray(ncc_eval_pallas_multi(
+        refside, *args, planes, x, y, offsets, params.cost_max,
+        cap_radius=cap, interpret=True))
+    for k in range(3):
+        single = np.asarray(ncc_eval_pallas(
+            refside, *args, planes[k], x, y, offsets, params.cost_max,
+            cap_radius=cap, interpret=True))
+        np.testing.assert_array_equal(multi[k], single)
+    # and against the XLA oracle
+    for k in range(3):
+        oracle = np.asarray(ncc_eval(refside, *args, planes[k], x, y,
+                                     offsets, params.cost_max,
+                                     cap_radius=cap))
+        np.testing.assert_allclose(multi[k], oracle, atol=2e-4)
+
+
 def test_sorted_scatter_matches_xla_on_random_planes(setup):
     """ncc_eval_pallas_sorted (per-view bucketing + vals-out + XLA ZNCC)
     must reproduce ncc_eval on an incoherent random-plane field."""
