@@ -84,6 +84,10 @@ def fuse_one_view(inp: FusionInput, masks: Array, ref_idx: Array,
     src_valid: (S,) bool marks real entries.
     """
     V, H, W = inp.depths.shape
+    # src_r/src_c are narrowed to int16 to shrink the O(S) outputs; enforce
+    # the dtype's range so a >=32768-px image fails loudly instead of
+    # wrapping consumed-pixel marks to wrong locations (ADVICE r3)
+    assert H < 32768 and W < 32768, (H, W)
     cams = inp.cameras
     take = lambda arr, i: jnp.take(arr, i, axis=0)
 

@@ -38,7 +38,7 @@ TR = 8          # band height (sublane tile)
 PAD_COLOR = 1e6  # sentinel: |dBGR| ~ 1e6 -> exp underflows to exactly 0
 
 
-def _kernel(sw_ref,          # (1, n_off) SMEM: spatial weight per |dy| row? no: per dx at fixed dy handled below
+def _kernel(sw_ref,          # (1, n_off**2) SMEM: spatial weights, row-major (dy, dx) — indexed iy*n_off+ix below
             planes_ref,      # (4, Hp, Wp) HBM: B, G, R, prob (padded)
             out_ref,         # (TR, Wp_out) refined probability band
             slab_ref,        # (4, TR + 2R, Wp) VMEM scratch

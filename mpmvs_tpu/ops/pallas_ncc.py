@@ -76,6 +76,7 @@ def _kernel(
     fx_ref,        # (K*T, TR, TC) f32
     y0_ref,        # (K*T, TR, TC) f32 clipped y0
     fy_ref,        # (K*T, TR, TC) f32
+    tb_ref,        # (K*T, 4) SMEM — per-tap (slab_lo, slab_hi, win_lo, win_hi)
     sem,           # DMA semaphore
     *,
     offsets: Tuple[Tuple[int, int], ...],
@@ -160,11 +161,21 @@ def _kernel(
             by_hi = ccy + cap_radius
         capped = jnp.zeros((TR, TC), jnp.bool_)
 
+        # Pixels whose center projection is out of bounds score cost_max no
+        # matter what their taps sample — so they are EXCLUDED from the
+        # sweep-bounds accumulation below. Without this, one off-image
+        # center (clamped to x=0 or y=0) drags the tile's contiguous
+        # (slab, window) sweep range to the image corner: measured 14.6 s
+        # vs 0.3 s for one 128-row-band eval of an early-iteration
+        # candidate field at 3200x2130 on v5e. Their taps still land inside
+        # the swept region or not at all; either way the output is masked.
+        okc = ~oob
+
         # ---- per-tap sample coordinates (static tap loop, pure vector) ----
-        ymin = jnp.full((TR, TC), big, jnp.float32)
-        ymax = jnp.full((TR, TC), -big, jnp.float32)
-        xmin = jnp.full((TR, TC), big, jnp.float32)
-        xmax = jnp.full((TR, TC), -big, jnp.float32)
+        ymin = big
+        ymax = -big
+        xmin = big
+        xmax = -big
         for t, (dx, dy) in enumerate(offsets):
             i = k * T + t
             hz = hp[2] + dx * colx[2] + dy * coly[2]
@@ -191,20 +202,40 @@ def _kernel(
             g1_ref[i] = g1
             y0_ref[i] = y0c
             vals_ref[i] = jnp.zeros((TR, TC), jnp.float32)
-            ymin = jnp.minimum(ymin, y0c)
-            ymax = jnp.maximum(ymax, jnp.minimum(y0c + 1.0, Hm1))
-            xmin = jnp.minimum(xmin, g0)
-            xmax = jnp.maximum(xmax, g1)
+            # per-TAP footprint bounds -> SMEM: the sweep skips this tap on
+            # (slab, window) steps outside its own range. One tap touches
+            # ~2 source rows; without the guard it pays the full 8-row x
+            # 2-block masked body on EVERY step of the tile's union sweep
+            # (the ~4x row-scan redundancy of VERDICT r3 #6, and ~10x for
+            # large-window scales where taps spread across many slabs).
+            tymin = jnp.min(jnp.where(okc, y0c, big))
+            tymax = jnp.max(jnp.where(okc, jnp.minimum(y0c + 1.0, Hm1),
+                                      -big))
+            txmin = jnp.min(jnp.where(okc, g0, big))
+            txmax = jnp.max(jnp.where(okc, g1, -big))
+            tb_ref[i, 0] = f2i(jnp.clip(tymin / 8.0, 0, n_slabs - 1))
+            tb_ref[i, 1] = f2i(jnp.clip(tymax / 8.0, 0, n_slabs - 1))
+            tb_ref[i, 2] = f2i(jnp.clip(txmin / WIN, 0,
+                                        n_src_cols // WIN - 1))
+            tb_ref[i, 3] = f2i(jnp.clip(txmax / WIN, 0,
+                                        n_src_cols // WIN - 1))
+            ymin = jnp.minimum(ymin, tymin)
+            ymax = jnp.maximum(ymax, tymax)
+            xmin = jnp.minimum(xmin, txmin)
+            xmax = jnp.maximum(xmax, txmax)
 
         bad.append(oob | capped)
         # footprint bounds -> per-k scalar sweep ranges (clamped: these only
-        # control how much work runs — masks zero out-of-range contributions)
-        slab_los.append(jnp.clip(f2i(jnp.min(ymin)) // 8, 0, n_slabs - 1))
-        slab_his.append(jnp.clip(f2i(jnp.max(ymax)) // 8, 0, n_slabs - 1))
-        win_los.append(jnp.clip(f2i(jnp.min(xmin)) // WIN, 0,
-                                n_src_cols // WIN - 1))
-        win_his.append(jnp.clip(f2i(jnp.max(xmax)) // WIN, 0,
-                                n_src_cols // WIN - 1))
+        # control how much work runs — masks zero out-of-range
+        # contributions). Floats are clipped BEFORE the int conversion so an
+        # all-bad-center tile (bounds still at ±big) robustly yields an
+        # empty range (lo > hi -> zero sweep iterations).
+        slab_los.append(f2i(jnp.clip(jnp.min(ymin) / 8.0, 0, n_slabs - 1)))
+        slab_his.append(f2i(jnp.clip(jnp.max(ymax) / 8.0, 0, n_slabs - 1)))
+        win_los.append(f2i(jnp.clip(jnp.min(xmin) / WIN, 0,
+                                    n_src_cols // WIN - 1)))
+        win_his.append(f2i(jnp.clip(jnp.max(xmax) / WIN, 0,
+                                    n_src_cols // WIN - 1)))
 
     slab_lo = functools.reduce(jnp.minimum, slab_los)
     slab_hi = functools.reduce(jnp.maximum, slab_his)
@@ -220,42 +251,51 @@ def _kernel(
                       for k in range(K)]
 
             def tap_sweep(k):
-                # fully static: T taps x 8 rows x 2 blocks of masked vector
-                # work — no branches, no scalar reads
+                # static T-tap loop; each tap is a scalar-guarded 8-row x
+                # 2-block vector body that only runs on (slab, window)
+                # steps inside the tap's own SMEM range
                 offf = (wi * WIN).astype(jnp.float32)
                 b0 = slab_ref[:, 0:TC]
                 b1 = slab_ref[:, TC:WIN]
                 for t in range(T):
                     i = k * T + t
-                    y0c = y0_ref[i]
-                    fy = fy_ref[i]
-                    fx = fx_ref[i]
-                    l0 = g0_ref[i] - offf
-                    l1 = g1_ref[i] - offf
-                    w00 = jnp.where((l0 >= 0.0) & (l0 < TC), 1.0 - fx, 0.0)
-                    w01 = jnp.where((l1 >= 0.0) & (l1 < TC), fx, 0.0)
-                    w10 = jnp.where((l0 >= TC) & (l0 < WIN), 1.0 - fx, 0.0)
-                    w11 = jnp.where((l1 >= TC) & (l1 < WIN), fx, 0.0)
-                    c00 = jnp.clip(l0, 0.0, TC - 1.0).astype(jnp.int32)
-                    c01 = jnp.clip(l1, 0.0, TC - 1.0).astype(jnp.int32)
-                    c10 = jnp.clip(l0 - TC, 0.0, TC - 1.0).astype(jnp.int32)
-                    c11 = jnp.clip(l1 - TC, 0.0, TC - 1.0).astype(jnp.int32)
-                    acc = vals_ref[i]
-                    for kk in range(8):
-                        r = base_row + kk
-                        # y-blend weight for this absolute source row; the
-                        # bottom-edge clip (y1 folded onto y0) sums to 1
-                        wy = (jnp.where(y0c == r, 1.0 - fy, 0.0)
-                              + jnp.where(jnp.minimum(y0c + 1.0, Hm1) == r,
-                                          fy, 0.0))
-                        r0 = jnp.broadcast_to(b0[kk:kk + 1, :], (TR, TC))
-                        r1 = jnp.broadcast_to(b1[kk:kk + 1, :], (TR, TC))
-                        v = (w00 * jnp.take_along_axis(r0, c00, axis=1)
-                             + w01 * jnp.take_along_axis(r0, c01, axis=1)
-                             + w10 * jnp.take_along_axis(r1, c10, axis=1)
-                             + w11 * jnp.take_along_axis(r1, c11, axis=1))
-                        acc = acc + wy * v
-                    vals_ref[i] = acc
+
+                    def tap_body(i=i):
+                        y0c = y0_ref[i]
+                        fy = fy_ref[i]
+                        fx = fx_ref[i]
+                        l0 = g0_ref[i] - offf
+                        l1 = g1_ref[i] - offf
+                        w00 = jnp.where((l0 >= 0.0) & (l0 < TC), 1.0 - fx, 0.0)
+                        w01 = jnp.where((l1 >= 0.0) & (l1 < TC), fx, 0.0)
+                        w10 = jnp.where((l0 >= TC) & (l0 < WIN), 1.0 - fx, 0.0)
+                        w11 = jnp.where((l1 >= TC) & (l1 < WIN), fx, 0.0)
+                        c00 = jnp.clip(l0, 0.0, TC - 1.0).astype(jnp.int32)
+                        c01 = jnp.clip(l1, 0.0, TC - 1.0).astype(jnp.int32)
+                        c10 = jnp.clip(l0 - TC, 0.0, TC - 1.0).astype(jnp.int32)
+                        c11 = jnp.clip(l1 - TC, 0.0, TC - 1.0).astype(jnp.int32)
+                        acc = vals_ref[i]
+                        for kk in range(8):
+                            r = base_row + kk
+                            # y-blend weight for this absolute source row;
+                            # the bottom-edge clip (y1 folded onto y0)
+                            # sums to 1 there
+                            wy = (jnp.where(y0c == r, 1.0 - fy, 0.0)
+                                  + jnp.where(
+                                      jnp.minimum(y0c + 1.0, Hm1) == r,
+                                      fy, 0.0))
+                            r0 = jnp.broadcast_to(b0[kk:kk + 1, :], (TR, TC))
+                            r1 = jnp.broadcast_to(b1[kk:kk + 1, :], (TR, TC))
+                            v = (w00 * jnp.take_along_axis(r0, c00, axis=1)
+                                 + w01 * jnp.take_along_axis(r0, c01, axis=1)
+                                 + w10 * jnp.take_along_axis(r1, c10, axis=1)
+                                 + w11 * jnp.take_along_axis(r1, c11, axis=1))
+                            acc = acc + wy * v
+                        vals_ref[i] = acc
+
+                    pl.when((sl >= tb_ref[i, 0]) & (sl <= tb_ref[i, 1])
+                            & (wi >= tb_ref[i, 2])
+                            & (wi <= tb_ref[i, 3]))(tap_body)
 
             @pl.when(functools.reduce(jnp.logical_or, active))
             def _():
@@ -424,6 +464,7 @@ def ncc_eval_pallas_multi(
             pltpu.VMEM((K * T, TR, TC), jnp.float32),  # fx
             pltpu.VMEM((K * T, TR, TC), jnp.float32),  # y0
             pltpu.VMEM((K * T, TR, TC), jnp.float32),  # fy
+            pltpu.SMEM((K * T, 4), jnp.int32),         # per-tap bounds
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -532,6 +573,7 @@ def _sample_view_vals(src_img, wh_row, ab_row, kinvt, plane4, xf, yf,
             pltpu.VMEM((T, TR, TC), jnp.float32),
             pltpu.VMEM((T, TR, TC), jnp.float32),
             pltpu.VMEM((T, TR, TC), jnp.float32),
+            pltpu.SMEM((T, 4), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -151,21 +151,26 @@ def select_candidates(cost: Array, plane: Array):
 
 
 def _select_candidates_packed(cost_s: Array, plane_s: Array, halo: int,
-                              rows: int, phase: int, x_int: Array):
+                              rows: int, phase: int, x_int: Array,
+                              depth_s: Optional[Array] = None):
     """Banded + packed candidate harvest.
 
     cost_s/plane_s: (Hs, W[, 4]) band slice with ``halo`` rows above/below
     (out-of-image rows pre-filled with +inf cost by the caller). Returns
-    (cand_planes (8, rows, W//2, 4), cand_valid (8, rows, W//2)) for the
-    active color's pixels of the band's central ``rows`` rows. ``x_int``:
-    (rows, W//2) int32 global x of each packed pixel.
+    (cand_planes (8, rows, W//2, 4), cand_valid (8, rows, W//2),
+    cand_src_depth or None) for the active color's pixels of the band's
+    central ``rows`` rows. ``x_int``: (rows, W//2) int32 global x of each
+    packed pixel. ``depth_s`` (Hs, W): the slice's stored depth field; when
+    given, each candidate's depth AT ITS SOURCE PIXEL is gathered alongside
+    (used by the disparity extrapolation clamp in :func:`_band_step`).
     """
     Hs, W = cost_s.shape
     plane_flat = plane_s.reshape(Hs * W, 4)
+    depth_flat = depth_s.reshape(Hs * W) if depth_s is not None else None
     crop = lambda a: jax.lax.slice_in_dim(a, halo, halo + rows, axis=0)
     prep = lambda a: pack_quincunx(crop(a), phase)
     r_local = jax.lax.broadcasted_iota(jnp.int32, x_int.shape, 0) + halo
-    cands, valids = [], []
+    cands, valids, src_ds = [], [], []
     for region in DIRS:
         best_c = jnp.full((Hs, W), jnp.inf, cost_s.dtype)
         best_k = jnp.zeros((Hs, W), jnp.int32)
@@ -182,7 +187,10 @@ def _select_candidates_packed(cost_s: Array, plane_s: Array, halo: int,
         ix = jnp.clip(x_int + jnp.take(dxs, best_k_p), 0, W - 1)
         cands.append(jnp.take(plane_flat, iy * W + ix, axis=0))
         valids.append(valid)
-    return jnp.stack(cands), jnp.stack(valids)
+        if depth_flat is not None:
+            src_ds.append(jnp.take(depth_flat, iy * W + ix))
+    src_d = jnp.stack(src_ds) if depth_flat is not None else None
+    return jnp.stack(cands), jnp.stack(valids), src_d
 
 
 def _weighted_total(costs_v: Array, weights: Array, norm: Array,
@@ -262,6 +270,9 @@ def _band_step(
     iteration: Array,
     phase: int,
     key: Array,
+    key_step: Array,           # un-folded step key: shared by all bands so
+                               # the smooth random-band field is continuous
+                               # across band boundaries
     geom: bool,
     prior: bool,
     halo: int,
@@ -375,9 +386,52 @@ def _band_step(
     # (the current hypothesis rides the same batched kernel call — 9
     # stacked fields, one pallas_call per view grid; its cost is consumed
     # in step 4)
-    cand_planes, cand_valid = _select_candidates_packed(
-        cost_s, plane_s, halo, rows, phase, x_int)
-    batch9 = ncc_batch(jnp.concatenate([cand_planes, plane_c[None]], axis=0))
+    clamp = params.disp_clamp_frac
+    if clamp > 0.0:
+        # Disparity extrapolation clamp (round 4, documented deviation):
+        # a candidate plane's induced depth at the center pixel is its
+        # neighbor's plane EXTRAPOLATED ≤23 px — for any plausible surface
+        # that moves disparity by ≲1% of the range, but a random-normal
+        # junk plane lands anywhere, scattering the tile's projection
+        # footprint across the whole depth range (measured ~12 s/band for
+        # early-iteration candidate evals at 3200x2130 on v5e). Candidates
+        # are therefore EVALUATED at a disparity clipped to ±clamp x range
+        # around their source pixel's stored depth; the clamp never
+        # engages for legitimate slants (range/16 over 23 px would need a
+        # plane crossing the whole range in ~370 px), and where it does
+        # engage the candidate was unadoptable junk. The ORIGINAL plane is
+        # still what gets adopted; the reconstructed plane is substituted
+        # only where the clamp engaged, so legit candidates are evaluated
+        # bit-identically.
+        y_s = (jnp.arange(Hs, dtype=jnp.float32)
+               + (y0.astype(jnp.float32) - halo))
+        x_s = jnp.arange(W, dtype=jnp.float32)
+        depth_s = geo.depth_from_plane(data.K_ref, plane_s,
+                                       x_s[None, :], y_s[:, None])
+        cand_planes, cand_valid, cand_src_d = _select_candidates_packed(
+            cost_s, plane_s, halo, rows, phase, x_int, depth_s)
+        cand_d = jax.vmap(
+            lambda p: geo.depth_from_plane(data.K_ref, p, x_p, y_p))(
+                cand_planes)
+        disp = 1.0 / cand_d
+        disp_nb = jnp.clip(1.0 / cand_src_d, 1.0 / data.depth_max,
+                           1.0 / data.depth_min)
+        disp_nb = jnp.where(jnp.isfinite(disp_nb), disp_nb,
+                            1.0 / data.depth_max)
+        half_d = clamp * (1.0 / data.depth_min - 1.0 / data.depth_max)
+        disp_ev = jnp.clip(disp, disp_nb - half_d, disp_nb + half_d)
+        disp_ev = jnp.where(jnp.isfinite(disp_ev), disp_ev, disp_nb)
+        clamped = disp_ev != disp
+        plane_ev = jax.vmap(
+            lambda d, n: geo.plane_from_depth_normal(data.K_ref, x_p, y_p,
+                                                     d, n))(
+                1.0 / disp_ev, cand_planes[..., :3])
+        eval_planes = jnp.where(clamped[..., None], plane_ev, cand_planes)
+    else:
+        cand_planes, cand_valid, _ = _select_candidates_packed(
+            cost_s, plane_s, halo, rows, phase, x_int)
+        eval_planes = cand_planes
+    batch9 = ncc_batch(jnp.concatenate([eval_planes, plane_c[None]], axis=0))
     cost_array = batch9[:8]  # (8, S, rows, Wh)
     cost_vec_now = batch9[8]
 
@@ -498,10 +552,14 @@ def _band_step(
 
     shape_p = x_p.shape
     if params.coherent_random:
-        # tile-banded draw (documented deviation — see banded_uniform)
-        draw_depth = lambda k: pmrand.banded_uniform(
-            k, shape_p, data.depth_min, data.depth_max,
-            params.random_band_frac)
+        # smooth tile-banded draw (documented deviation — see
+        # smooth_banded_uniform). The knot seed comes from the *step* key so
+        # every band of this half-iteration draws the same global field.
+        k_band_seed = jax.random.fold_in(key_step, 101)
+        frac = (params.random_band_frac if (geom or prior)
+                else params.effective_band_frac())
+        draw_depth = lambda k: pmrand.smooth_banded_uniform(
+            k_band_seed, k, x_p, y_p, data.depth_min, data.depth_max, frac)
     else:
         draw_depth = lambda k: jax.random.uniform(
             k, shape_p, jnp.float32, minval=data.depth_min,
@@ -608,16 +666,16 @@ def _pad_step_inputs(state: PatchMatchState, data: SolveData, halo: int,
 
 
 def _band_call(pads: dict, data: SolveData, params, scale: int,
-               iteration: Array, phase: int, key_b: Array, geom: bool,
-               prior: bool, halo: int, br: int, y0: Array):
+               iteration: Array, phase: int, key_b: Array, key_step: Array,
+               geom: bool, prior: bool, halo: int, br: int, y0: Array):
     """One band's update from the padded buffers (shared by the fused and
     stepped dispatch paths)."""
     Hs = br + 2 * halo
     sl = lambda a, h: jax.lax.dynamic_slice(
         a, (y0,) + (0,) * (a.ndim - 1), (h,) + a.shape[1:])
     return _band_step(
-        data, params, scale, iteration, phase, key_b, geom, prior, halo, br,
-        y0, sl(pads["cost_pad"], Hs), sl(pads["plane_pad"], Hs),
+        data, params, scale, iteration, phase, key_b, key_step, geom, prior,
+        halo, br, y0, sl(pads["cost_pad"], Hs), sl(pads["plane_pad"], Hs),
         sl(pads["sel_pad"], Hs), sl(pads["ref_pad"], Hs),
         sl(pads["geom_pad"], br),
         sl(pads["prior_planes_pad"], br) if prior else None,
@@ -663,8 +721,8 @@ def checkerboard_step(
 
     def band_fn(b):
         return _band_call(pads, data, params, scale, iteration, phase,
-                          jax.random.fold_in(key, b), geom, prior, halo, br,
-                          b * br)
+                          jax.random.fold_in(key, b), key, geom, prior,
+                          halo, br, b * br)
 
     if n_bands == 1:
         plane_p, cost_p, geom_p, sel_p = band_fn(jnp.int32(0))
@@ -727,8 +785,8 @@ def checkerboard_step_stepped(
     for b in range(n_bands):
         outs.append(_band_call_jit(
             pads, data, params, scale=scale, iteration=iteration, phase=phase,
-            key_b=jax.random.fold_in(key, b), geom=geom, prior=prior,
-            halo=halo, br=br, y0=jnp.int32(b * br)))
+            key_b=jax.random.fold_in(key, b), key_step=key, geom=geom,
+            prior=prior, halo=halo, br=br, y0=jnp.int32(b * br)))
     if n_bands == 1:
         return _merge_bands(state, phase, geom, *outs[0])
     return _merge_concat_jit(state, phase, geom, outs, H=H)

@@ -46,6 +46,39 @@ def random_normal_field(key, K: Array, x: Array, y: Array) -> Array:
     return face_camera(random_unit_sphere(key, x.shape), K, x, y)
 
 
+def cone_normal_field(key, K: Array, x: Array, y: Array,
+                      max_angle_rad: float) -> Array:
+    """(H, W, 3) random unit normals within ``max_angle_rad`` of the
+    anti-viewing direction (uniform in cos over the cone).
+
+    Used for the INIT field only (documented deviation): the reference
+    seeds full-hemisphere normals (PatchMatch.cu:197-219), but near-grazing
+    seeds stretch the NCC window across the image and dominate the sweep
+    kernel's footprint for the first iterations until adoption replaces
+    them. Steep surfaces remain reachable — the refinement trials draw
+    full-hemisphere normals every half-iteration, and propagation spreads
+    them. ``PatchMatchParams.init_normal_cone_deg`` controls it."""
+    view = geo.view_direction(K, x, y)
+    axis = -view / jnp.linalg.norm(view, axis=-1, keepdims=True).clip(1e-12)
+    k_c, k_p = jax.random.split(key)
+    import math
+    cos_t = jax.random.uniform(k_c, x.shape, jnp.float32,
+                               minval=math.cos(max_angle_rad), maxval=1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = jax.random.uniform(k_p, x.shape, jnp.float32, maxval=2.0 * jnp.pi)
+    # orthonormal frame around the per-pixel axis
+    h = jnp.where(jnp.abs(axis[..., 0:1]) < 0.9,
+                  jnp.asarray([1.0, 0.0, 0.0]),
+                  jnp.asarray([0.0, 1.0, 0.0]))
+    u = jnp.cross(axis, jnp.broadcast_to(h, axis.shape))
+    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True).clip(1e-12)
+    v = jnp.cross(axis, u)
+    n = (axis * cos_t[..., None]
+         + (u * jnp.cos(phi)[..., None] + v * jnp.sin(phi)[..., None])
+         * sin_t[..., None])
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)
+
+
 def random_plane_field(key, K: Array, x: Array, y: Array,
                        depth_min, depth_max) -> Array:
     """(H, W, 4) random plane hypotheses — GenerateRandomPlaneHypothesis
@@ -55,6 +88,72 @@ def random_plane_field(key, K: Array, x: Array, y: Array,
     depth = jax.random.uniform(k_d, x.shape, jnp.float32,
                                minval=depth_min, maxval=depth_max)
     return geo.plane_from_depth_normal(K, x, y, depth, normal)
+
+
+def _hash_u01(a: Array, b: Array, seed: Array) -> Array:
+    """Stateless vectorized integer hash -> float in [0, 1). Quality is
+    sufficient for band placement (the per-pixel jitter rides a real
+    counter-based PRNG); determinism in GLOBAL coordinates is the point —
+    every processing band computes identical values for the same tile."""
+    x = (a.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+         ^ b.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)) ^ seed
+    x = (x ^ (x >> 15)) * jnp.uint32(0x2C1B3C6D)
+    x = (x ^ (x >> 12)) * jnp.uint32(0x297A2D39)
+    x = x ^ (x >> 15)
+    return (x >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
+
+
+def smooth_banded_uniform(seed_key, jitter_key, x: Array, y: Array,
+                          minval, maxval, frac: float,
+                          tile=(8, 256), knot_tiles=(32, 8),
+                          tile_noise: float = 2.0) -> Array:
+    """Spatially-smooth tile-banded uniform draw over [minval, maxval].
+
+    Band centers are a bilinear interpolation of uniform random knots every
+    ``knot_tiles`` tiles (tile = ``tile`` px in global (x, y) coordinates),
+    plus an iid per-tile offset of ±``tile_noise`` half-bands, plus a
+    per-pixel jitter of ±half a band (band width = ``frac`` x range).
+
+    Why smooth: a per-tile *iid* banded field (``banded_uniform``) keeps the
+    drawn field's own evaluation fast, but one checkerboard half-iteration
+    later the CANDIDATE fields gather planes from ≤23 px away — mixing up to
+    ~4 uncorrelated bands per kernel tile, whose bounding box spans most of
+    the projected depth range (measured: 106 s for one 128-row band's
+    9-candidate eval at 3200x2130 on v5e). With smooth centers, nearby tiles
+    carry nearby bands, so shifted/gathered fields stay locally coherent in
+    *every* iteration. Knot and tile-noise values are stateless hashes of
+    global tile indices (``_hash_u01``) so separately-processed row bands
+    agree; only ``seed_key`` (one per draw, shared by all bands of a
+    half-iteration) selects the field. Full-range coverage comes from
+    re-drawing every half-iteration. Documented deviation from the
+    reference's per-pixel full-range draws (PatchMatch.cu:221-224, :655);
+    ``PatchMatchParams.coherent_random`` controls it.
+    """
+    if frac >= 1.0:
+        # degenerate band = the reference's plain full-range uniform draw
+        return jax.random.uniform(jitter_key, x.shape, jnp.float32,
+                                  minval=minval, maxval=maxval)
+    seeds = jax.random.bits(seed_key, (2,), jnp.uint32)
+    th, tw = tile
+    kty, ktx = knot_tiles
+    ty = (y.astype(jnp.int32) // th).astype(jnp.float32)
+    tx = (x.astype(jnp.int32) // tw).astype(jnp.float32)
+    gy = ty / kty
+    gx = tx / ktx
+    i0 = jnp.floor(gy)
+    j0 = jnp.floor(gx)
+    fy = gy - i0
+    fx = gx - j0
+    u = lambda di, dj: _hash_u01(i0 + di, j0 + dj, seeds[0])
+    c = ((1 - fy) * ((1 - fx) * u(0, 0) + fx * u(0, 1))
+         + fy * ((1 - fx) * u(1, 0) + fx * u(1, 1)))
+    rng = maxval - minval
+    half = 0.5 * frac * rng
+    center = minval + half + c * (rng - 2.0 * half)
+    noise = (_hash_u01(ty, tx, seeds[1]) * 2.0 - 1.0) * tile_noise * half
+    jitter = jax.random.uniform(jitter_key, x.shape, jnp.float32,
+                                minval=-half, maxval=half)
+    return jnp.clip(center + noise + jitter, minval, maxval)
 
 
 def banded_uniform(key, shape, minval, maxval, frac: float,

@@ -66,7 +66,7 @@ class PatchMatchParams:
     # hypotheses are extreme >cap_mult x anisotropic stretches whose
     # bilateral ZNCC is meaningless; the reference simply pays the texture
     # fetches for them (PatchMatch.cu:363-377). 0 disables.
-    footprint_cap_mult: float = 6.0
+    footprint_cap_mult: float = 4.0
     # Tile-coherent random depth draws (documented deviation, round 4): init
     # and the 2 random-depth refinement trials draw depths banded per 8x128
     # kernel tile (ops/random.banded_uniform) instead of per-pixel over the
@@ -75,6 +75,21 @@ class PatchMatchParams:
     # Full-range coverage comes from re-drawing every half-iteration.
     coherent_random: bool = True
     random_band_frac: float = 1.0 / 32.0  # band width as a range fraction
+    # Disparity extrapolation clamp for candidate EVALUATION (documented
+    # deviation, round 4 — see ops/propagation._band_step): candidates are
+    # scored at a disparity within ±disp_clamp_frac x (disparity range) of
+    # their source pixel's stored depth. Never engages for plausible
+    # surfaces (a legit plane moves disparity ≲1% of the range over the
+    # ≤23 px propagation reach); bounds the sweep kernel's footprint for
+    # junk random-normal extrapolations in not-yet-converged regions.
+    # Adoption still stores the original plane. 0 disables.
+    disp_clamp_frac: float = 1.0 / 16.0
+    # Init normals drawn within a cone of this half-angle around the
+    # anti-viewing ray (documented deviation — ops/random.cone_normal_field):
+    # near-grazing seeds dominate the sweep kernel's early footprints; the
+    # refinement trials keep the reference's full-hemisphere draw so steep
+    # surfaces stay reachable. >= 90 restores the reference's init too.
+    init_normal_cone_deg: float = 60.0
     # Execution granularity of solve_view:
     #   "fused"   — the whole run is one XLA program (CPU tests, vmapped
     #               batches, real pod chips);
@@ -89,6 +104,19 @@ class PatchMatchParams:
     @property
     def ncc_taps(self) -> int:
         return self.ncc_taps_per_axis * self.ncc_taps_per_axis
+
+    def effective_band_frac(self) -> float:
+        """Band width for cold (random-init photometric) schedules. Banded
+        draws rely on re-drawing every half-iteration to cover the range;
+        smoke schedules (< 4 draw rounds, e.g. the CLI "fast" preset) have
+        too few redraws, so they fall back to full-range draws (the
+        reference's semantics). Warm-started modes (geom/prior) always use
+        ``random_band_frac`` — their trials explore around a converged
+        field."""
+        rounds = (self.max_scale + 1) * self.max_iterations
+        if rounds < 4:
+            return 1.0
+        return self.random_band_frac
 
     def cap_radius(self, scale: int) -> float:
         """Footprint-cap box half-width in px for one scale (0 = off)."""

@@ -337,15 +337,21 @@ def _init_plane(data: SolveData, params, key, mode: str,
     x, y = geo.pixel_grid(H, W)
     if mode == "photometric":
         if params.coherent_random:
-            # tile-banded depth draw (documented deviation; see
-            # ops/random.banded_uniform): init scoring then runs in the
-            # Pallas sweep kernel. The init bands are 8-row aligned
-            # (_initial_score) so draw tiles coincide with kernel tiles.
+            # smooth tile-banded depth draw (documented deviation; see
+            # ops/random.smooth_banded_uniform): init scoring AND the first
+            # iterations' candidate gathers then stay footprint-bounded in
+            # the Pallas sweep kernel.
             k_n, k_d = jax.random.split(key)
-            normal = pmrand.random_normal_field(k_n, data.K_ref, x, y)
-            depth = pmrand.banded_uniform(k_d, x.shape, data.depth_min,
-                                          data.depth_max,
-                                          params.random_band_frac)
+            k_seed, k_j = jax.random.split(k_d)
+            cone = params.init_normal_cone_deg
+            if 0.0 < cone < 90.0:
+                normal = pmrand.cone_normal_field(
+                    k_n, data.K_ref, x, y, cone * np.pi / 180.0)
+            else:
+                normal = pmrand.random_normal_field(k_n, data.K_ref, x, y)
+            depth = pmrand.smooth_banded_uniform(
+                k_seed, k_j, x, y, data.depth_min, data.depth_max,
+                params.effective_band_frac())
             return geo.plane_from_depth_normal(data.K_ref, x, y, depth,
                                                normal)
         return pmrand.random_plane_field(key, data.K_ref, x, y,
@@ -403,6 +409,84 @@ def _finalize(data: SolveData, state: PatchMatchState, H0: int, W0: int):
 _finalize_jit = jax.jit(_finalize, static_argnames=("H0", "W0"))
 
 
+def warmup_stepped_programs(images, cameras, key, params: PatchMatchParams,
+                            modes=("photometric", "geom")) -> int:
+    """Compile (and once-execute on band 0) every device program a stepped
+    solve will dispatch: init band, each (scale, phase) band program, the
+    merge and the finalize. The benchmark calls this before its recorded
+    run so per-unit timings measure execution, not compilation (the
+    persistent compile cache then makes this near-free on re-runs).
+    Returns the number of band programs touched."""
+    from mpmvs_tpu.ops import propagation as prop
+
+    images = jnp.asarray(images)
+    V, H0, W0 = images.shape
+    n = 0
+    for mode in modes:
+        geom = mode in ("geom", "geom_prior")
+        warm = None
+        src_depths = None
+        if mode != "photometric":
+            d0 = jnp.ones((H0, W0), jnp.float32)
+            warm = SolveResult(
+                depth=d0,
+                normal=jnp.concatenate([jnp.zeros((H0, W0, 2)),
+                                        -jnp.ones((H0, W0, 1))], -1),
+                cost=jnp.ones((H0, W0), jnp.float32),
+                geom_cost=jnp.zeros((H0, W0), jnp.float32))
+            if geom:
+                src_depths = jnp.ones((V - 1, H0, W0), jnp.float32)
+        imgs = images
+        pad_h, pad_w = H0 % 2, W0 % 2
+        if pad_h or pad_w:
+            imgs = _pad_rows_cols(imgs, pad_h, pad_w)
+            if src_depths is not None:
+                src_depths = _pad_rows_cols(src_depths, pad_h, pad_w,
+                                            mode="constant")
+        data = build_solve_data(imgs, cameras, src_depths)
+        H, W = data.ref_img.shape
+        S = data.src_imgs.shape[0]
+        band_rows = params.band_rows if params.band_rows > 0 else (
+            auto_band_rows(H, W, S, geom))
+        band_rows = min(band_rows - (band_rows % 2) or H, H)
+
+        plane = _init_plane_jit(data, params, key, mode, warm)
+        halo0 = step_halo(params.max_scale)
+        br0 = _init_band_rows(band_rows, H)
+        ref_pad = jnp.pad(data.ref_img, ((halo0, halo0), (0, 0)),
+                          mode="edge")
+        c0, s0 = _init_score_band_jit(data, params, ref_pad, plane,
+                                      jnp.int32(0), br=br0, halo=halo0)
+        state = PatchMatchState(
+            plane=plane, cost=jnp.ones((H, W), jnp.float32),
+            geom_cost=jnp.zeros((H, W), jnp.float32),
+            sel=jnp.zeros((H, W), jnp.int32))
+        scales = (list(range(params.max_scale, -1, -1))
+                  if mode == "photometric" else [0])
+        from mpmvs_tpu.ops.propagation import (_band_call_jit,
+                                               _band_geometry,
+                                               _merge_concat_jit,
+                                               _pad_step_jit)
+        for scale in dict.fromkeys(scales):
+            halo, br, n_bands, pad_b = _band_geometry(H, W, S, scale, geom,
+                                                      band_rows)
+            pads = _pad_step_jit(state, data, halo=halo, pad_b=pad_b,
+                                 prior=False)
+            for phase in (0, 1):
+                out = _band_call_jit(
+                    pads, data, params, scale=scale,
+                    iteration=jnp.int32(0), phase=phase, key_b=key,
+                    key_step=key, geom=geom, prior=False, halo=halo, br=br,
+                    y0=jnp.int32(0))
+                jax.block_until_ready(out)
+                n += 1
+                if n_bands > 1:
+                    jax.block_until_ready(_merge_concat_jit(
+                        state, phase, geom, [out] * n_bands, H=H))
+        jax.block_until_ready(_finalize_jit(data, state, H0=H0, W0=W0))
+    return n
+
+
 def solve_view_stepped(
     images: Array,
     cameras: CameraStack,
@@ -413,9 +497,23 @@ def solve_view_stepped(
     src_depths: Optional[Array] = None,
     prior_planes: Optional[Array] = None,
     prior_mask: Optional[Array] = None,
+    progress_cb=None,
+    state_sharding=None,
 ) -> SolveResult:
     """solve_view with host-driven per-band dispatch. Bit-compatible PRNG
-    schedule with solve_view_impl (same fold_in tree)."""
+    schedule with solve_view_impl (same fold_in tree).
+
+    ``state_sharding``: optional NamedSharding re-applied to the state
+    between half-iterations (tile-sharded stepped solves, VERDICT r3 #9) —
+    the per-band jits then run SPMD over the mesh.
+
+    ``progress_cb``: optional callable ``(label, state) -> bool | None``
+    invoked after init (label "init") and after every half-iteration
+    (label "half:<scale>:<iter>:<phase>") with the current device state
+    still in flight — the callback may force completion (e.g. a tiny
+    fetch) to timestamp the unit. Returning ``False`` aborts the remaining
+    schedule; the result is then finalized from the current state (used by
+    the budget-bounded benchmark to measure a calibrated subset)."""
     from mpmvs_tpu.ops.propagation import checkerboard_step_stepped
 
     assert mode in ("photometric", "geom", "prior", "geom_prior")
@@ -473,21 +571,51 @@ def solve_view_stepped(
     state = PatchMatchState(plane=plane, cost=cost,
                             geom_cost=jnp.zeros((H, W), jnp.float32),
                             sel=sel)
+    if state_sharding is not None:
+        pin = lambda st: jax.tree.map(
+            lambda a: jax.device_put(a, state_sharding), st)
+        state = pin(state)
+    go = True
+    if progress_cb is not None:
+        go = progress_cb("init", state) is not False
 
     # --- iterations (host loops; PRNG fold tree identical to the fused
     # path: fold(fold(fold(k_iter, scale_index), phase), it)) ---
     n_iter = params.geom_iterations if geom else params.max_iterations
     scales = list(range(params.max_scale, -1, -1)) if mode == "photometric" else [0]
     for si, scale in enumerate(scales):
+        if not go:
+            break
         k_si = jax.random.fold_in(k_iter, si)
         for it in range(n_iter):
+            if not go:
+                break
             for phase in (0, 1):
                 k = jax.random.fold_in(jax.random.fold_in(k_si, phase), it)
                 state = checkerboard_step_stepped(
                     state, data, params, scale, it, phase, k, geom, prior,
                     band_rows)
+                if state_sharding is not None:
+                    state = pin(state)
+                if progress_cb is not None:
+                    go = progress_cb(f"half:{scale}:{it}:{phase}",
+                                     state) is not False
+                    if not go:
+                        break
 
     return _finalize_jit(data, state, H0=H0, W0=W0)
+
+
+def _deadline_runtime() -> bool:
+    """Is this an execution-deadline runtime (single executions killed after
+    ~1 min, e.g. the tunneled bench chip)? Explicit opt-in/out via
+    MPMVS_EXEC_DEADLINE=1/0; the tunneled platform ("axon") is detected by
+    its JAX_PLATFORMS value."""
+    import os
+    flag = os.environ.get("MPMVS_EXEC_DEADLINE")
+    if flag is not None:
+        return flag not in ("0", "false", "")
+    return "axon" in os.environ.get("JAX_PLATFORMS", "")
 
 
 def solve_view(images, cameras, key, params, mode="photometric", warm=None,
@@ -497,17 +625,25 @@ def solve_view(images, cameras, key, params, mode="photometric", warm=None,
 
       * "fused": the whole run is ONE XLA program (best when executions may
         be minutes: real un-tunneled chips, CPU tests, vmapped batches);
-      * "stepped": host-driven per-band executions (tunneled TPU);
-      * "auto": stepped on TPU, fused elsewhere.
+      * "stepped": host-driven per-band executions (execution-deadline
+        runtimes, e.g. the tunneled bench chip);
+      * "auto": stepped only on TPU runtimes with an execution deadline
+        (see :func:`_deadline_runtime`), fused everywhere else —
+        VERDICT r3 weak #7: real pod chips want fused.
+
+    ``state_sharding`` (tile sharding) composes with both dispatches; the
+    stepped path re-pins the state between half-iterations.
     """
     dispatch = getattr(params, "dispatch", "auto")
     if dispatch == "auto":
-        dispatch = "stepped" if jax.default_backend() == "tpu" else "fused"
-    if dispatch == "stepped" and state_sharding is None:
+        dispatch = ("stepped" if jax.default_backend() == "tpu"
+                    and _deadline_runtime() else "fused")
+    if dispatch == "stepped":
         return solve_view_stepped(images, cameras, key, params, mode,
                                   warm=warm, src_depths=src_depths,
                                   prior_planes=prior_planes,
-                                  prior_mask=prior_mask)
+                                  prior_mask=prior_mask,
+                                  state_sharding=state_sharding)
     return _solve_view_fused(images, cameras, key, params, mode, warm=warm,
                              src_depths=src_depths,
                              prior_planes=prior_planes,

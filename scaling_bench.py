@@ -106,7 +106,7 @@ def main() -> int:
     p.add_argument("--width", type=int, default=128)
     p.add_argument("--srcs", type=int, default=2)
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
-    p.add_argument("--out", default=os.path.join(HERE, "SCALING_r03.json"))
+    p.add_argument("--out", default=os.path.join(HERE, "SCALING_r04.json"))
     args = p.parse_args()
 
     if os.environ.get("SCALING_CHILD"):
@@ -151,17 +151,24 @@ def main() -> int:
     bytes_per_view = S * H * W * 4.0
     t_comm = bytes_per_view / ICI_AG_BW
     # per-view solve time: take the single-chip bench if present
-    bench_path = os.path.join(HERE, "BENCH_r03.json")
+    import glob
     t_solve = None
-    if os.path.exists(bench_path):
+    candidates = sorted(glob.glob(os.path.join(HERE, "BENCH_r*.json")),
+                        reverse=True)
+    if os.environ.get("SCALING_BENCH_JSON"):
+        candidates.insert(0, os.environ["SCALING_BENCH_JSON"])
+    for bench_path in candidates:
         try:
             with open(bench_path) as f:
                 b = json.load(f)
             parsed = b.get("parsed") or b
             if parsed.get("value"):
+                # bench value is full-schedule dm/s; the geom all-gather
+                # happens once per geometric pass -> compare per-pass time
                 t_solve = 1.0 / float(parsed["value"])
+                break
         except Exception:
-            pass
+            continue
     projection = {
         "operating_point": f"{W}x{H}x{S}src",
         "geom_allgather_bytes_per_view": bytes_per_view,

@@ -307,3 +307,39 @@ class TestBandedUniform:
         hist, _ = np.histogram(d, bins=10, range=(0.0, 1.0))
         interior = hist[1:-1] / d.size
         assert np.all(np.abs(interior - 0.1067) < 0.035), interior
+
+
+class TestDisparityClampNeutrality:
+    """The candidate-evaluation disparity clamp (ops/propagation._band_step)
+    must be a bit-exact no-op for plausible fields — it only bounds junk
+    extrapolations' kernel footprints."""
+
+    def test_identical_on_coherent_slanted_field(self):
+        from mpmvs_tpu.ops.propagation import PatchMatchState, checkerboard_step
+        from mpmvs_tpu.params import PatchMatchParams
+        from mpmvs_tpu.solver import build_solve_data
+        from mpmvs_tpu.utils.synthetic import make_plane_scene
+        from mpmvs_tpu.ops import random as pmrand
+
+        scene = make_plane_scene(num_views=3, height=48, width=64, seed=2)
+        data = build_solve_data(jnp.asarray(scene.images), scene.cameras)
+        H, W = 48, 64
+        x, y = geo.pixel_grid(H, W)
+        # mildly slanted normals on the GT depth: a realistic surface
+        n0 = jnp.broadcast_to(jnp.asarray([0.25, 0.1, -0.96]), (H, W, 3))
+        n0 = n0 / jnp.linalg.norm(n0, axis=-1, keepdims=True)
+        plane = geo.plane_from_depth_normal(
+            data.K_ref, x, y, jnp.asarray(scene.gt_depth[0]), n0)
+        state = PatchMatchState(
+            plane=plane, cost=jnp.full((H, W), 0.5, jnp.float32),
+            geom_cost=jnp.zeros((H, W), jnp.float32),
+            sel=jnp.zeros((H, W), jnp.int32))
+        key = jax.random.PRNGKey(7)
+        outs = []
+        for frac in (1.0 / 16.0, 0.0):
+            params = PatchMatchParams(disp_clamp_frac=frac)
+            st = checkerboard_step(state, data, params, 0, jnp.int32(0), 0,
+                                   key, False, False, 0)
+            outs.append(st)
+        for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
