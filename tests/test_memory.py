@@ -15,6 +15,7 @@ exactly what this catches.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,7 @@ def _camera_stack(n_views):
     return CameraStack.stack(cams)
 
 
+@pytest.mark.slow
 def test_photometric_solve_fits_one_chip_hbm():
     cameras = _camera_stack(NUM_SRC + 1)
     params = PatchMatchParams()

@@ -28,6 +28,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_run(tmp_path):
     scene = make_plane_scene(num_views=3, height=48, width=64, seed=31)
     ws = str(tmp_path / "ws")

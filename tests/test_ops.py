@@ -314,6 +314,7 @@ class TestDisparityClampNeutrality:
     must be a bit-exact no-op for plausible fields — it only bounds junk
     extrapolations' kernel footprints."""
 
+    @pytest.mark.slow
     def test_identical_on_coherent_slanted_field(self):
         from mpmvs_tpu.ops.propagation import PatchMatchState, checkerboard_step
         from mpmvs_tpu.params import PatchMatchParams

@@ -155,6 +155,7 @@ def test_footprint_cap_no_op_on_gt_plane(setup):
     np.testing.assert_array_equal(c_cap, c_free)
 
 
+@pytest.mark.slow
 def test_multi_matches_single_calls(setup):
     """The K-stacked kernel must reproduce K independent single calls
     bit-for-bit (the union sweep adds exact zeros in the same order) on a
@@ -203,6 +204,7 @@ def test_multi_matches_single_calls(setup):
         np.testing.assert_allclose(multi[k], oracle, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sorted_scatter_matches_xla_on_random_planes(setup):
     """ncc_eval_pallas_sorted (per-view bucketing + vals-out + XLA ZNCC)
     must reproduce ncc_eval on an incoherent random-plane field."""

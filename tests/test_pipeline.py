@@ -137,6 +137,7 @@ class TestShardedParity:
         base.update(kw)
         return ConfigParams(**base)
 
+    @pytest.mark.slow
     def test_sharded_planar_prior_run(self, tmp_path):
         from mpmvs_tpu.parallel.view_sharding import ShardedPipeline
 
@@ -176,6 +177,7 @@ class TestShardedParity:
         assert os.path.exists(os.path.join(folder, "MPMVS", "2333_00000000",
                                            "triangulation.png"))
 
+    @pytest.mark.slow
     def test_sharded_resume(self, tmp_path):
         from mpmvs_tpu.parallel.view_sharding import ShardedPipeline
 
@@ -202,6 +204,7 @@ class TestShardedParity:
 
 
 class TestSharding:
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__ as graft
         graft.dryrun_multichip(8)
@@ -212,6 +215,7 @@ class TestSharding:
         out = jax.jit(fn)(*args)
         assert np.isfinite(np.asarray(out[0])).all()
 
+    @pytest.mark.slow
     def test_view_sharded_matches_single(self):
         """Sharded batch solve must equal per-scene solves bit-for-bit."""
         from mpmvs_tpu.parallel.mesh import make_view_mesh

@@ -172,6 +172,7 @@ class TestSteppedDispatch:
         sel_same = (np.asarray(a.sel) == np.asarray(b.sel)).mean()
         assert sel_same > 0.99, sel_same
 
+    @pytest.mark.slow
     def test_stepped_end_to_end_agrees(self, scene):
         from mpmvs_tpu.solver import solve_view_stepped
 
