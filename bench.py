@@ -50,7 +50,9 @@ HEIGHT = int(os.environ.get("BENCH_HEIGHT", 2130))
 WIDTH = int(os.environ.get("BENCH_WIDTH", 3200))
 NUM_VIEWS = int(os.environ.get("BENCH_VIEWS", 11))  # 1 ref + 10 sources
 SAMPLER = os.environ.get("BENCH_SAMPLER", "auto")   # auto | pallas | pallas_sorted | xla
-BAND_ROWS = int(os.environ.get("BENCH_BAND_ROWS", 0))  # 0 = auto
+# 64-row bands: bounded per-execution time on deadline runtimes AND
+# matches the persistent-cache programs warmed during development
+BAND_ROWS = int(os.environ.get("BENCH_BAND_ROWS", 64))
 # Total wall budget for the whole bench (parent + children). The driver's
 # own timeout is unknown; r3's 5400 s/child blew through it, so default
 # well under half an hour and stream partials throughout.
@@ -251,11 +253,15 @@ def child_main() -> int:
         return out
 
     # --- warmup: compile every band program once (excluded from unit
-    # timings; near-free on re-runs via the persistent cache) ---
-    t_w = time.perf_counter()
-    warmup_stepped_programs(images, scene.cameras, jax.random.PRNGKey(9),
-                            params)
-    emit({"warmup_s": round(time.perf_counter() - t_w, 1), "final": False})
+    # timings; near-free on re-runs via the persistent cache). Skipped on
+    # tight budgets — better to spend the time measuring (compile lands in
+    # the first units, inflating them, but they still stream). ---
+    if deadline - time.perf_counter() > 900:
+        t_w = time.perf_counter()
+        warmup_stepped_programs(images, scene.cameras, jax.random.PRNGKey(9),
+                                params)
+        emit({"warmup_s": round(time.perf_counter() - t_w, 1),
+              "final": False})
 
     # --- photometric pass ---
     photo_deadline = min(deadline, time.perf_counter()
