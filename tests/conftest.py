@@ -22,3 +22,23 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("MPMVS_TEST_CACHE", "/tmp/mpmvs_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+# Serializing certain multi-device CPU SPMD executables into the
+# persistent compile cache segfaults inside XLA's cache writer
+# (jax compilation_cache.put_executable_and_time — observed repeatedly in
+# round 4 whenever the sharded-pipeline programs were compiled cold).
+# Tests marked `nocache` compile without the persistent cache.
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _no_persistent_cache_for_marked(request):
+    if request.node.get_closest_marker("nocache") is None:
+        yield
+        return
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)

@@ -127,6 +127,7 @@ class TestResumeAllPasses:
 
 
 class TestShardedParity:
+    pytestmark = pytest.mark.nocache
     """ShardedPipeline must support the full feature set (VERDICT r1 #5):
     planar prior, resume, sky scheduling — not just photometric+geom."""
 
@@ -204,6 +205,7 @@ class TestShardedParity:
 
 
 class TestSharding:
+    pytestmark = pytest.mark.nocache
     @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__ as graft
