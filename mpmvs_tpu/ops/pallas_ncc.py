@@ -34,6 +34,7 @@ image size is bounded by HBM, not VMEM.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -48,7 +49,15 @@ from mpmvs_tpu.ops.ncc import K_MIN_VAR, NCCRefSide
 Array = jax.Array
 
 TR, TC = 8, 128  # pixel tile = one (sublane, lane) vreg
-WIN = 2 * TC     # column window: 2 static 128-lane blocks per sweep step
+# Column window: N static 128-lane blocks per sweep step. One block means 2
+# lane-gathers per (tap, row) instead of 4 — a tap's bilinear x-pair spans
+# at most 2 columns, so with a 128-lane window most taps touch ONE window
+# step and straddlers are split across two steps by the per-tap SMEM range
+# guards (the sweep masks make either split exact). Env-overridable for
+# A/B kernel benchmarking (tools/kernel_bench.py); the default is the
+# measured-faster setting on v5e.
+WIN_BLOCKS = int(os.environ.get("MPMVS_NCC_WIN_BLOCKS", "1"))
+WIN = WIN_BLOCKS * TC
 
 
 def _kernel(
@@ -251,12 +260,16 @@ def _kernel(
                       for k in range(K)]
 
             def tap_sweep(k):
-                # static T-tap loop; each tap is a scalar-guarded 8-row x
-                # 2-block vector body that only runs on (slab, window)
-                # steps inside the tap's own SMEM range
+                # static T-tap loop; each tap is a scalar-guarded
+                # 8-row x WIN_BLOCKS-block vector body that only runs on
+                # (slab, window) steps inside the tap's own SMEM range.
+                # With WIN_BLOCKS=1 a bilinear x-pair straddling a window
+                # boundary is accumulated over two sweep steps (each step
+                # adds only the in-window corner) instead of one — ulp-level
+                # reassociation vs the 2-block layout, exact per corner.
                 offf = (wi * WIN).astype(jnp.float32)
-                b0 = slab_ref[:, 0:TC]
-                b1 = slab_ref[:, TC:WIN]
+                blocks = [slab_ref[:, j * TC:(j + 1) * TC]
+                          for j in range(WIN_BLOCKS)]
                 for t in range(T):
                     i = k * T + t
 
@@ -266,14 +279,17 @@ def _kernel(
                         fx = fx_ref[i]
                         l0 = g0_ref[i] - offf
                         l1 = g1_ref[i] - offf
-                        w00 = jnp.where((l0 >= 0.0) & (l0 < TC), 1.0 - fx, 0.0)
-                        w01 = jnp.where((l1 >= 0.0) & (l1 < TC), fx, 0.0)
-                        w10 = jnp.where((l0 >= TC) & (l0 < WIN), 1.0 - fx, 0.0)
-                        w11 = jnp.where((l1 >= TC) & (l1 < WIN), fx, 0.0)
-                        c00 = jnp.clip(l0, 0.0, TC - 1.0).astype(jnp.int32)
-                        c01 = jnp.clip(l1, 0.0, TC - 1.0).astype(jnp.int32)
-                        c10 = jnp.clip(l0 - TC, 0.0, TC - 1.0).astype(jnp.int32)
-                        c11 = jnp.clip(l1 - TC, 0.0, TC - 1.0).astype(jnp.int32)
+                        wcs = []   # per block: (w0, c0, w1, c1)
+                        for j in range(WIN_BLOCKS):
+                            lo, hi = float(j * TC), float((j + 1) * TC)
+                            wcs.append((
+                                jnp.where((l0 >= lo) & (l0 < hi),
+                                          1.0 - fx, 0.0),
+                                jnp.clip(l0 - lo, 0.0,
+                                         TC - 1.0).astype(jnp.int32),
+                                jnp.where((l1 >= lo) & (l1 < hi), fx, 0.0),
+                                jnp.clip(l1 - lo, 0.0,
+                                         TC - 1.0).astype(jnp.int32)))
                         acc = vals_ref[i]
                         for kk in range(8):
                             r = base_row + kk
@@ -284,12 +300,13 @@ def _kernel(
                                   + jnp.where(
                                       jnp.minimum(y0c + 1.0, Hm1) == r,
                                       fy, 0.0))
-                            r0 = jnp.broadcast_to(b0[kk:kk + 1, :], (TR, TC))
-                            r1 = jnp.broadcast_to(b1[kk:kk + 1, :], (TR, TC))
-                            v = (w00 * jnp.take_along_axis(r0, c00, axis=1)
-                                 + w01 * jnp.take_along_axis(r0, c01, axis=1)
-                                 + w10 * jnp.take_along_axis(r1, c10, axis=1)
-                                 + w11 * jnp.take_along_axis(r1, c11, axis=1))
+                            v = jnp.zeros((TR, TC), jnp.float32)
+                            for j, (w0, c0, w1, c1) in enumerate(wcs):
+                                rj = jnp.broadcast_to(
+                                    blocks[j][kk:kk + 1, :], (TR, TC))
+                                v = (v
+                                     + w0 * jnp.take_along_axis(rj, c0, axis=1)
+                                     + w1 * jnp.take_along_axis(rj, c1, axis=1))
                             acc = acc + wy * v
                         vals_ref[i] = acc
 
