@@ -119,10 +119,20 @@ class PatchMatchParams:
         return self.random_band_frac
 
     def cap_radius(self, scale: int) -> float:
-        """Footprint-cap box half-width in px for one scale (0 = off)."""
+        """Footprint-cap box half-width in px for one scale (0 = off).
+
+        The per-scale growth is clamped at 2x: an uncapped 2**scale factor
+        gave scale 2 an 80 px cap box, and random-normal trial fields at
+        that box ran at ~3 Mtaps/s on v5e vs 213 Mtaps/s at 40 px
+        (tools/kernel_bench.py --scale 2, round 4b) — the 88-154 s scale-2
+        half-iterations of BENCH r4 were exactly this. A 40 px box still
+        allows ~2x the nominal scale-2 window half-extent (~20 px), i.e.
+        ~60 deg of slant-induced stretch; steeper hypotheses score
+        cost_max at the coarsest scale only and remain reachable at
+        scales 1/0 (caps 40/20 px vs 10/5 px nominal)."""
         if self.footprint_cap_mult <= 0.0:
             return 0.0
-        return self.footprint_cap_mult * 5.0 * (2 ** scale)
+        return self.footprint_cap_mult * 5.0 * min(2 ** scale, 2)
 
     def tap_offsets(self, scale: int):
         """Static window offsets for one scale: step 2*2^scale, 6 taps per

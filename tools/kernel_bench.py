@@ -40,6 +40,8 @@ def main() -> int:
     ap.add_argument("--scale", type=int, default=0)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--cases", default="coherent,trials")
+    ap.add_argument("--cap-mult", type=float, default=None,
+                    help="override params.footprint_cap_mult")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +57,10 @@ def main() -> int:
     from mpmvs_tpu.utils.synthetic import make_plane_scene
 
     interp = jax.default_backend() != "tpu"
-    params = PatchMatchParams(band_rows=args.band_rows)
+    pkw = {}
+    if args.cap_mult is not None:
+        pkw["footprint_cap_mult"] = args.cap_mult
+    params = PatchMatchParams(band_rows=args.band_rows, **pkw)
     scene = make_plane_scene(num_views=args.views, height=args.height,
                              width=args.width, seed=0)
     data = build_solve_data(jnp.asarray(scene.images), scene.cameras)
@@ -125,7 +130,8 @@ def main() -> int:
         print(json.dumps({
             "case": name, "win_blocks": WIN_BLOCKS, "k": args.k,
             "band_rows": br, "shape": f"{args.width}x{args.height}x{S}src",
-            "scale": scale, "t_compile_s": round(t_compile, 2),
+            "scale": scale, "cap_radius": cap,
+            "t_compile_s": round(t_compile, 2),
             "t_eval_s": round(t_eval, 4),
             "mtaps_per_s": round(taps / t_eval / 1e6, 1),
             "mean_cost": round(float(jnp.mean(out)), 6),
