@@ -119,7 +119,7 @@ def bilateral_refine_pallas(
         grid=(Hb // TR,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=pl.BlockSpec((TR, Wp_out), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),

@@ -16,10 +16,11 @@ its time in per-tap dynamic control — an SMEM range table per tap, a
 ``pl.when`` per (tap, slab), and a dynamic ``fori_loop`` over column
 blocks. A microbenchmark of the *same* gather pattern with static loops
 runs 51x faster. This rewrite therefore keeps exactly TWO dynamic loops
-per (tile, view) — source row-slabs and 256-lane column windows, both with
+per (tile, view) — source row-slabs and WIN_BLOCKS x 128-lane column windows
+(default 1 block), both with
 data-dependent trip counts so cost follows the projected footprint — and
 makes everything inside them static and mask-predicated: 36 taps x 8 slab
-rows x 2 column blocks of pure vector work. Out-of-window contributions
+rows x WIN_BLOCKS column blocks of pure vector work. Out-of-window contributions
 are zero by construction of the masks, so correctness never depends on the
 footprint estimate; the scalar bounds only control how much work runs.
 
@@ -27,7 +28,7 @@ One kernel invocation computes a full 36-tap bilateral-ZNCC cost for one
 (tile, view) pair: tap projection (factorized homography, 2 FMAs/tap),
 slab/window sweep sampling, and the ZNCC reduction against precomputed
 reference-side moments (ops/ncc.NCCRefSide). The source image stack stays
-in HBM (``pltpu.ANY``); slabs are DMA'd into VMEM scratch on demand, so
+in HBM (``pltpu.MemorySpace.ANY``); slabs are DMA'd into VMEM scratch on demand, so
 image size is bounded by HBM, not VMEM.
 """
 
@@ -57,6 +58,9 @@ TR, TC = 8, 128  # pixel tile = one (sublane, lane) vreg
 # A/B kernel benchmarking (tools/kernel_bench.py); the default is the
 # measured-faster setting on v5e.
 WIN_BLOCKS = int(os.environ.get("MPMVS_NCC_WIN_BLOCKS", "1"))
+if WIN_BLOCKS < 1:
+    raise ValueError(
+        f"MPMVS_NCC_WIN_BLOCKS must be an integer >= 1, got {WIN_BLOCKS}")
 WIN = WIN_BLOCKS * TC
 
 
@@ -75,7 +79,7 @@ def _kernel(
     xg_ref,        # (TR, TC) global x
     yg_ref,        # (TR, TC) global y
     # HBM
-    src_ref,       # (S, Hp, Wp), pltpu.ANY
+    src_ref,       # (S, Hp, Wp), pltpu.MemorySpace.ANY
     # output
     out_ref,       # (K, 1, TR, TC) per-view cost (or (T+1, TR, TC) vals)
     # scratch — leading dim K*T, indexed [k*T + t]
@@ -316,7 +320,8 @@ def _kernel(
 
             @pl.when(functools.reduce(jnp.logical_or, active))
             def _():
-                # DMA only this (slab, window) subblock: 8 KB instead of a
+                # DMA only this (slab, window) subblock: 8 x WIN floats
+                # (4 KB at the default WIN_BLOCKS=1) instead of a
                 # full-width slab row (the full-width copy dominated
                 # round-3's first rewrite at ~450 us/invocation); the one
                 # copy feeds all K active hypotheses' taps.
@@ -409,8 +414,9 @@ def ncc_eval_pallas_multi(
     amortizing source-slab DMA, the refside stacks and per-call overhead —
     the solver's 8 propagation candidates + current + 5 refinement trials
     run as two calls instead of 14 (VERDICT r3 #3). ``src_imgs`` must be
-    padded to (8, 256) row/col multiples (build_solve_data pads; valid
-    extents come from src_widths/heights as usual). Per-hypothesis results
+    padded to (8, 128) row/col multiples (build_solve_data pads; this
+    function re-pads columns to the WIN multiple itself if WIN_BLOCKS > 1;
+    valid extents come from src_widths/heights as usual). Per-hypothesis results
     are bit-identical to K separate calls: the union sweep's extra
     (slab, window) steps contribute exact zeros in the same accumulation
     order."""
@@ -467,7 +473,7 @@ def ncc_eval_pallas_multi(
                          memory_space=pltpu.VMEM),   # planes
             pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),  # x
             pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),  # y
-            pl.BlockSpec(memory_space=pltpu.ANY),    # src (HBM)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),    # src (HBM)
         ],
         out_specs=pl.BlockSpec((K, 1, TR, TC),
                                lambda ty, tx, s_: (0, s_, ty, tx),
@@ -576,7 +582,7 @@ def _sample_view_vals(src_img, wh_row, ab_row, kinvt, plane4, xf, yf,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, TC), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=pl.BlockSpec((T + 1, TR, TC),
                                lambda ty, tx, s_: (0, ty, tx),

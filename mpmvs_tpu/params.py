@@ -132,7 +132,16 @@ class PatchMatchParams:
         scales 1/0 (caps 40/20 px vs 10/5 px nominal)."""
         if self.footprint_cap_mult <= 0.0:
             return 0.0
-        return self.footprint_cap_mult * 5.0 * min(2 ** scale, 2)
+        cap = self.footprint_cap_mult * 5.0 * min(2 ** scale, 2)
+        if scale > 2:
+            # Floor for user-set max_scale >= 3 (ADVICE r4): the 2x growth
+            # clamp above would otherwise shrink the cap box to at-or-below
+            # the nominal window half-extent (5*2^scale), scoring nearly
+            # every hypothesis cost_max at the coarsest scales. Keep at
+            # least 2x the nominal extent so moderate magnification and
+            # slant survive; the box still bounds grazing stretches.
+            cap = max(cap, 2.0 * 5.0 * (2 ** scale))
+        return cap
 
     def tap_offsets(self, scale: int):
         """Static window offsets for one scale: step 2*2^scale, 6 taps per
