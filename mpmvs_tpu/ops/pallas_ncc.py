@@ -62,6 +62,33 @@ if WIN_BLOCKS < 1:
     raise ValueError(
         f"MPMVS_NCC_WIN_BLOCKS must be an integer >= 1, got {WIN_BLOCKS}")
 WIN = WIN_BLOCKS * TC
+# Roll-aligned row scan — MEASURED NEGATIVE on v5e, default off. The idea:
+# a pixel at tile sub-row i samples source row ~ i + d with alignment
+# d = y0 - i nearly constant across a tile, so a sublane roll of the slab
+# by d serves every sub-row its own source row in one lane-gather,
+# replacing the 8-row masked scan with a [dmin, dmax] d-scan (DSCAN static
+# steps). In practice a *dynamic* sublane roll costs ~1.8 gathers and the
+# per-(tap, d) pl.when structure serializes the pipeline: kernel_bench
+# measured 94 Mtaps/s coherent vs 554 for the plain scan (round 5).
+# Kept as an env-gated A/B path; see BASELINE.md "negative results".
+DSCAN = int(os.environ.get("MPMVS_NCC_DSCAN", "0"))
+if DSCAN < 0:
+    raise ValueError(f"MPMVS_NCC_DSCAN must be >= 0, got {DSCAN}")
+# Per-tap sweep-range guards (pl.when around each tap's body). Guards skip
+# gathers outside a tap's own (slab, window) range — but fine-grained
+# scalar branches also serialize the vector pipeline: gathers pipeline to
+# ~6 ns/op in a straight-line unrolled body, so the skipped work was
+# cheaper than the branches (measured round 5 on v5e, kernel_bench:
+# coherent 554 -> 1010 Mtaps/s, trials 364 -> 735, bit-identical
+# outputs). Default 0 = straight-line taps, masks only; 1 restores the
+# round-4 guarded structure for A/B.
+TAPGUARD = int(os.environ.get("MPMVS_NCC_TAPGUARD", "0"))
+# Same trade for the per-hypothesis guards inside a sweep step (K branches
+# per (slab, window) step): here the guards WIN (coherent 208 Mtaps/s
+# without vs 1010 with, round 5) — per-hypothesis footprints genuinely
+# differ, and one branch per hypothesis per step is coarse enough not to
+# stall the pipeline. Default 1 = guarded.
+KGUARD = int(os.environ.get("MPMVS_NCC_KGUARD", "1"))
 
 
 def _kernel(
@@ -89,7 +116,9 @@ def _kernel(
     fx_ref,        # (K*T, TR, TC) f32
     y0_ref,        # (K*T, TR, TC) f32 clipped y0
     fy_ref,        # (K*T, TR, TC) f32
-    tb_ref,        # (K*T, 4) SMEM — per-tap (slab_lo, slab_hi, win_lo, win_hi)
+    tb_ref,        # (K*T, 6) SMEM — per-tap (slab_lo, slab_hi, win_lo,
+                   #   win_hi, d_lo, d_hi): sweep ranges + row-alignment
+                   #   bounds for the rolled scan
     sem,           # DMA semaphore
     *,
     offsets: Tuple[Tuple[int, int], ...],
@@ -98,6 +127,7 @@ def _kernel(
     cost_max: float,
     cap_radius: float = 0.0,
     emit_vals: bool = False,
+    interpret: bool = False,
 ):
     """K-stacked sampling kernel (round 4): one invocation evaluates K
     hypothesis fields for one (tile, view). The slab/window sweep covers the
@@ -118,6 +148,9 @@ def _kernel(
 
     xg = xg_ref[:]
     yg = yg_ref[:]
+    # tile sub-row index (the rolled scan's per-sublane alignment basis);
+    # int iota then convert — Mosaic's tpu.iota is integer-only
+    iy = jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 0).astype(jnp.float32)
     kv = lambda i: kinvt_ref[0, i]
     a = lambda i, j: ab_ref[s, 3 * i + j]
     b = lambda i: ab_ref[s, 9 + i]
@@ -232,6 +265,15 @@ def _kernel(
                                         n_src_cols // WIN - 1))
             tb_ref[i, 3] = f2i(jnp.clip(txmax / WIN, 0,
                                         n_src_cols // WIN - 1))
+            # row-alignment bounds d = (source row) - (tile sub-row): the
+            # rolled scan covers d in [d_lo, d_hi]; all values are integral
+            # floats so the int conversion is exact
+            dmin = jnp.min(jnp.where(okc, y0c - iy, big))
+            dmax = jnp.max(jnp.where(okc,
+                                     jnp.minimum(y0c + 1.0, Hm1) - iy,
+                                     -big))
+            tb_ref[i, 4] = f2i(jnp.clip(dmin, -8.0, float(n_src_rows)))
+            tb_ref[i, 5] = f2i(jnp.clip(dmax, -9.0, float(n_src_rows)))
             ymin = jnp.minimum(ymin, tymin)
             ymax = jnp.maximum(ymax, tymax)
             xmin = jnp.minimum(xmin, txmin)
@@ -264,16 +306,26 @@ def _kernel(
                       for k in range(K)]
 
             def tap_sweep(k):
-                # static T-tap loop; each tap is a scalar-guarded
-                # 8-row x WIN_BLOCKS-block vector body that only runs on
-                # (slab, window) steps inside the tap's own SMEM range.
+                # static T-tap loop; each tap is a scalar-guarded vector
+                # body that only runs on (slab, window) steps inside the
+                # tap's own SMEM range. Two row-serving strategies, chosen
+                # per tap by its SMEM alignment spread:
+                #   * rolled scan (spread < DSCAN, the common case): for
+                #     each alignment offset d, a sublane roll of the slab
+                #     serves tile sub-row i its source row i+d — 2 gathers
+                #     per d instead of 2 per slab row (the gathers are
+                #     ~100% of kernel time; rolls are free);
+                #   * 8-row masked scan (fallback for wide spreads).
                 # With WIN_BLOCKS=1 a bilinear x-pair straddling a window
                 # boundary is accumulated over two sweep steps (each step
                 # adds only the in-window corner) instead of one — ulp-level
                 # reassociation vs the 2-block layout, exact per corner.
                 offf = (wi * WIN).astype(jnp.float32)
-                blocks = [slab_ref[:, j * TC:(j + 1) * TC]
+                slab_all = slab_ref[:]
+                blocks = [slab_all[:, j * TC:(j + 1) * TC]
                           for j in range(WIN_BLOCKS)]
+                sl8 = sl * 8
+                sl8f = sl8.astype(jnp.float32)
                 for t in range(T):
                     i = k * T + t
 
@@ -281,6 +333,7 @@ def _kernel(
                         y0c = y0_ref[i]
                         fy = fy_ref[i]
                         fx = fx_ref[i]
+                        y1c = jnp.minimum(y0c + 1.0, Hm1)
                         l0 = g0_ref[i] - offf
                         l1 = g1_ref[i] - offf
                         wcs = []   # per block: (w0, c0, w1, c1)
@@ -294,29 +347,77 @@ def _kernel(
                                 jnp.where((l1 >= lo) & (l1 < hi), fx, 0.0),
                                 jnp.clip(l1 - lo, 0.0,
                                          TC - 1.0).astype(jnp.int32)))
-                        acc = vals_ref[i]
-                        for kk in range(8):
-                            r = base_row + kk
-                            # y-blend weight for this absolute source row;
-                            # the bottom-edge clip (y1 folded onto y0)
-                            # sums to 1 there
-                            wy = (jnp.where(y0c == r, 1.0 - fy, 0.0)
-                                  + jnp.where(
-                                      jnp.minimum(y0c + 1.0, Hm1) == r,
-                                      fy, 0.0))
+
+                        def row_contrib(wy, rows):
+                            # rows: per block, an (TR, TC) operand whose
+                            # sub-row i holds the source row this step
+                            # serves pixel sub-row i
                             v = jnp.zeros((TR, TC), jnp.float32)
                             for j, (w0, c0, w1, c1) in enumerate(wcs):
-                                rj = jnp.broadcast_to(
-                                    blocks[j][kk:kk + 1, :], (TR, TC))
                                 v = (v
-                                     + w0 * jnp.take_along_axis(rj, c0, axis=1)
-                                     + w1 * jnp.take_along_axis(rj, c1, axis=1))
-                            acc = acc + wy * v
-                        vals_ref[i] = acc
+                                     + w0 * jnp.take_along_axis(rows[j], c0,
+                                                                axis=1)
+                                     + w1 * jnp.take_along_axis(rows[j], c1,
+                                                                axis=1))
+                            vals_ref[i] = vals_ref[i] + wy * v
 
-                    pl.when((sl >= tb_ref[i, 0]) & (sl <= tb_ref[i, 1])
-                            & (wi >= tb_ref[i, 2])
-                            & (wi <= tb_ref[i, 3]))(tap_body)
+                        def wide_scan():
+                            for kk in range(8):
+                                r = base_row + kk
+                                # y-blend weight for this absolute source
+                                # row; the bottom-edge clip (y1 folded onto
+                                # y0) sums to 1 there
+                                wy = (jnp.where(y0c == r, 1.0 - fy, 0.0)
+                                      + jnp.where(y1c == r, fy, 0.0))
+                                row_contrib(wy, [jnp.broadcast_to(
+                                    blocks[j][kk:kk + 1, :], (TR, TC))
+                                    for j in range(WIN_BLOCKS)])
+
+                        if DSCAN <= 0:
+                            wide_scan()
+                        else:
+                            d_lo = tb_ref[i, 4]
+                            span = tb_ref[i, 5] - d_lo
+
+                            def narrow_scan():
+                                for u in range(DSCAN):
+                                    d = d_lo + u
+
+                                    def d_body(d=d):
+                                        # Op[i] = slab[(i + rho) mod 8]:
+                                        # sub-row i reads source row i+d
+                                        # when that row is in this slab;
+                                        # wrapped rows are killed by the
+                                        # absolute-row compare and served
+                                        # by their own slab step.
+                                        rho = jnp.remainder(d - sl8, 8)
+                                        rolled = (
+                                            jnp.roll(slab_all, -rho, 0)
+                                            if interpret else
+                                            pltpu.roll(slab_all, -rho, 0))
+                                        absrow = sl8f + jnp.mod(
+                                            iy + rho.astype(jnp.float32),
+                                            8.0)
+                                        wy = (jnp.where(y0c == absrow,
+                                                        1.0 - fy, 0.0)
+                                              + jnp.where(y1c == absrow,
+                                                          fy, 0.0))
+                                        row_contrib(wy, [
+                                            rolled[:, j * TC:(j + 1) * TC]
+                                            for j in range(WIN_BLOCKS)])
+
+                                    pl.when((u <= span) & (d + 7 >= sl8)
+                                            & (d <= sl8 + 7))(d_body)
+
+                            pl.when(span < DSCAN)(narrow_scan)
+                            pl.when(span >= DSCAN)(wide_scan)
+
+                    if TAPGUARD:
+                        pl.when((sl >= tb_ref[i, 0]) & (sl <= tb_ref[i, 1])
+                                & (wi >= tb_ref[i, 2])
+                                & (wi <= tb_ref[i, 3]))(tap_body)
+                    else:
+                        tap_body()
 
             @pl.when(functools.reduce(jnp.logical_or, active))
             def _():
@@ -331,8 +432,8 @@ def _kernel(
                 copy.start()
                 copy.wait()
                 for k in range(K):
-                    if K == 1:
-                        tap_sweep(0)
+                    if K == 1 or not KGUARD:
+                        tap_sweep(k)
                     else:
                         pl.when(active[k])(functools.partial(tap_sweep, k))
             return 0
@@ -456,7 +557,7 @@ def ncc_eval_pallas_multi(
     out = pl.pallas_call(
         functools.partial(_kernel, offsets=tuple(offsets),
                           n_src_rows=Hp, n_src_cols=Wp, cost_max=cost_max,
-                          cap_radius=cap_radius),
+                          cap_radius=cap_radius, interpret=interpret),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ab
@@ -487,7 +588,7 @@ def ncc_eval_pallas_multi(
             pltpu.VMEM((K * T, TR, TC), jnp.float32),  # fx
             pltpu.VMEM((K * T, TR, TC), jnp.float32),  # y0
             pltpu.VMEM((K * T, TR, TC), jnp.float32),  # fy
-            pltpu.SMEM((K * T, 4), jnp.int32),         # per-tap bounds
+            pltpu.SMEM((K * T, 6), jnp.int32),         # per-tap bounds
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -567,7 +668,8 @@ def _sample_view_vals(src_img, wh_row, ab_row, kinvt, plane4, xf, yf,
     out = pl.pallas_call(
         functools.partial(_kernel, offsets=tuple(offsets), n_src_rows=Hp,
                           n_src_cols=Wp, cost_max=cost_max,
-                          cap_radius=cap_radius, emit_vals=True),
+                          cap_radius=cap_radius, emit_vals=True,
+                          interpret=interpret),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ab (1, 12)
@@ -596,7 +698,7 @@ def _sample_view_vals(src_img, wh_row, ab_row, kinvt, plane4, xf, yf,
             pltpu.VMEM((T, TR, TC), jnp.float32),
             pltpu.VMEM((T, TR, TC), jnp.float32),
             pltpu.VMEM((T, TR, TC), jnp.float32),
-            pltpu.SMEM((T, 4), jnp.int32),
+            pltpu.SMEM((T, 6), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -375,7 +375,23 @@ def _band_step(
         ncc_scatter = ncc_xla
         ncc_batch = lambda planes: jax.lax.map(ncc, planes)
 
+    if getattr(params, "debug_skip_ncc", False):
+        # Instrumentation stub (tools/solve_trace.py): near-free cost that
+        # still DEPENDS on the hypothesis planes, so XLA cannot dead-code
+        # the field construction (disp clamp, trial draws) it feeds — the
+        # stubbed band then measures exactly (half-iteration minus the
+        # sampling kernels).
+        def _stub(planes):
+            return jnp.broadcast_to(planes[..., 0][..., None, :, :] * 1e-30,
+                                    planes.shape[:-3] + (S,) + x_p.shape)
+        ncc_batch = _stub
+        ncc = lambda plane: _stub(plane)
+        ncc_scatter = ncc
+
     def gcost(plane):
+        if getattr(params, "debug_skip_gcost", False):
+            return jnp.broadcast_to(plane[..., 0][..., None, :, :] * 1e-30,
+                                    plane.shape[:-3] + (S,) + x_p.shape)
         return geom_consistency_cost(
             data.src_depths, data.src_widths, data.src_heights,
             data.K_ref, data.R_ref, data.C_ref, data.t_ref,

@@ -100,6 +100,13 @@ class PatchMatchParams:
     #               PatchMatch.cu:1200-1244);
     #   "auto"    — stepped on TPU, fused elsewhere.
     dispatch: str = "auto"
+    # INTERNAL instrumentation (tools/solve_trace.py): replace the NCC
+    # sampling kernels / the geometric-consistency cost with near-free
+    # plane-dependent stubs, so (full band) - (stubbed band) isolates that
+    # component's share of a half-iteration with the real fields and the
+    # real surrounding glue. Results are meaningless for reconstruction.
+    debug_skip_ncc: bool = False
+    debug_skip_gcost: bool = False
 
     @property
     def ncc_taps(self) -> int:
