@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -96,6 +96,7 @@ def _kernel(
     ab_ref,        # (S, 12): per-view A (row-major 9) + b (3)
     kinvt_ref,     # (1, 9): K_ref^-T row-major
     wh_ref,        # (S, 2): valid (width, height) per view
+    qaff_ref,      # (1, 2): quad affine (iscale, lo); zeros unless quad
     # VMEM blocks (per tile)
     w_ref,         # (T, TR, TC) bilateral weights
     wr_ref,        # (T, TR, TC) weight * ref tap
@@ -128,6 +129,7 @@ def _kernel(
     cap_radius: float = 0.0,
     emit_vals: bool = False,
     interpret: bool = False,
+    quad: bool = False,
 ):
     """K-stacked sampling kernel (round 4): one invocation evaluates K
     hypothesis fields for one (tile, view). The slab/window sweep covers the
@@ -155,6 +157,9 @@ def _kernel(
     a = lambda i, j: ab_ref[s, 3 * i + j]
     b = lambda i: ab_ref[s, 9 + i]
     n_slabs = n_src_rows // 8
+    # source rows covered per slab step: 8 texture rows; a quad texture row
+    # is a PAIR of source rows, so a quad slab spans 16 source rows
+    rdiv = 16.0 if quad else 8.0
     f2i = lambda v: v.astype(jnp.int32)
     big = jnp.float32(3.0e38)
 
@@ -258,9 +263,11 @@ def _kernel(
             tymax = jnp.max(jnp.where(okc, jnp.minimum(y0c + 1.0, Hm1),
                                       -big))
             txmin = jnp.min(jnp.where(okc, g0, big))
-            txmax = jnp.max(jnp.where(okc, g1, -big))
-            tb_ref[i, 0] = f2i(jnp.clip(tymin / 8.0, 0, n_slabs - 1))
-            tb_ref[i, 1] = f2i(jnp.clip(tymax / 8.0, 0, n_slabs - 1))
+            # quad mode: one gather at column g0 covers both x-corners, so
+            # the window range only needs g0 (no straddle continuation)
+            txmax = jnp.max(jnp.where(okc, g0 if quad else g1, -big))
+            tb_ref[i, 0] = f2i(jnp.clip(tymin / rdiv, 0, n_slabs - 1))
+            tb_ref[i, 1] = f2i(jnp.clip(tymax / rdiv, 0, n_slabs - 1))
             tb_ref[i, 2] = f2i(jnp.clip(txmin / WIN, 0,
                                         n_src_cols // WIN - 1))
             tb_ref[i, 3] = f2i(jnp.clip(txmax / WIN, 0,
@@ -285,8 +292,8 @@ def _kernel(
         # contributions). Floats are clipped BEFORE the int conversion so an
         # all-bad-center tile (bounds still at ±big) robustly yields an
         # empty range (lo > hi -> zero sweep iterations).
-        slab_los.append(f2i(jnp.clip(jnp.min(ymin) / 8.0, 0, n_slabs - 1)))
-        slab_his.append(f2i(jnp.clip(jnp.max(ymax) / 8.0, 0, n_slabs - 1)))
+        slab_los.append(f2i(jnp.clip(jnp.min(ymin) / rdiv, 0, n_slabs - 1)))
+        slab_his.append(f2i(jnp.clip(jnp.max(ymax) / rdiv, 0, n_slabs - 1)))
         win_los.append(f2i(jnp.clip(jnp.min(xmin) / WIN, 0,
                                     n_src_cols // WIN - 1)))
         win_his.append(f2i(jnp.clip(jnp.max(xmax) / WIN, 0,
@@ -336,6 +343,55 @@ def _kernel(
                         y1c = jnp.minimum(y0c + 1.0, Hm1)
                         l0 = g0_ref[i] - offf
                         l1 = g1_ref[i] - offf
+
+                        if quad:
+                            # one gather per (tap, pair-row): the int32
+                            # quad at column l0 carries all 4 bilinear
+                            # corners. wA weights the c0 bytes, wB the
+                            # c0+1 bytes; the valid-width fold (g1 == g0)
+                            # moves fx onto the c0 bytes, so the possibly-
+                            # padded +1 byte is never weighted there.
+                            srl = jax.lax.shift_right_logical
+                            fold = l1 == l0
+                            qwcs = []   # per block: (wA, wB, idx)
+                            for j in range(WIN_BLOCKS):
+                                lo = float(j * TC)
+                                hi = float((j + 1) * TC)
+                                inw = (l0 >= lo) & (l0 < hi)
+                                qwcs.append((
+                                    jnp.where(
+                                        inw,
+                                        1.0 - fx + jnp.where(fold, fx, 0.0),
+                                        0.0),
+                                    jnp.where(inw & ~fold, fx, 0.0),
+                                    jnp.clip(l0 - lo, 0.0,
+                                             TC - 1.0).astype(jnp.int32)))
+                            for kk in range(8):
+                                r_top = (base_row + kk) * 2.0
+                                r_bot = r_top + 1.0
+                                wy_t = (jnp.where(y0c == r_top, 1.0 - fy,
+                                                  0.0)
+                                        + jnp.where(y1c == r_top, fy, 0.0))
+                                wy_b = (jnp.where(y0c == r_bot, 1.0 - fy,
+                                                  0.0)
+                                        + jnp.where(y1c == r_bot, fy, 0.0))
+                                v = jnp.zeros((TR, TC), jnp.float32)
+                                for j, (wA, wB, idx) in enumerate(qwcs):
+                                    qrow = jnp.broadcast_to(
+                                        blocks[j][kk:kk + 1, :], (TR, TC))
+                                    g = jnp.take_along_axis(qrow, idx,
+                                                            axis=1)
+                                    v00 = (g & 0xff).astype(jnp.float32)
+                                    v01 = (srl(g, 8) & 0xff).astype(
+                                        jnp.float32)
+                                    v10 = (srl(g, 16) & 0xff).astype(
+                                        jnp.float32)
+                                    v11 = srl(g, 24).astype(jnp.float32)
+                                    v = (v + wy_t * (wA * v00 + wB * v01)
+                                         + wy_b * (wA * v10 + wB * v11))
+                                vals_ref[i] = vals_ref[i] + v
+                            return
+
                         wcs = []   # per block: (w0, c0, w1, c1)
                         for j in range(WIN_BLOCKS):
                             lo, hi = float(j * TC), float((j + 1) * TC)
@@ -443,13 +499,23 @@ def _kernel(
 
     jax.lax.fori_loop(slab_lo, slab_hi + 1, slab_body, 0)
 
+    # Quad affine: vals accumulated quantized byte values; each valid
+    # pixel's bilateral weights sum to 1, so sample = iscale*vals + lo.
+    # Bad pixels are cost_max-masked anyway.
+    if quad:
+        q_is = qaff_ref[0, 0]
+        q_lo = qaff_ref[0, 1]
+        unq = lambda v: q_is * v + q_lo
+    else:
+        unq = lambda v: v
+
     if emit_vals:
         # sorted-scatter path (K == 1): raw tap samples out (ZNCC runs
         # outside, in the original pixel order, so the per-pixel w/wr
         # stacks never ride the permutation)
         assert K == 1
         for t in range(T):
-            out_ref[t] = vals_ref[t]
+            out_ref[t] = unq(vals_ref[t])
         out_ref[T] = jnp.where(bad[0], 1.0, 0.0)
         return
 
@@ -462,7 +528,7 @@ def _kernel(
         sum_src2 = jnp.zeros((TR, TC), jnp.float32)
         sum_rs = jnp.zeros((TR, TC), jnp.float32)
         for t in range(T):
-            v = vals_ref[k * T + t]
+            v = unq(vals_ref[k * T + t])
             wv = w_ref[t] * v
             sum_src = sum_src + wv
             sum_src2 = sum_src2 + wv * v
@@ -508,6 +574,9 @@ def ncc_eval_pallas_multi(
     cost_max: float = 2.0,
     cap_radius: float = 0.0,
     interpret: bool = False,
+    src_quads: Optional[Array] = None,   # (S, Hq, Wp) int32 quad texture
+    quad_lo: Optional[Array] = None,     # () affine offset
+    quad_iscale: Optional[Array] = None,  # () affine scale
 ) -> Array:
     """Batched ncc_eval over K hypothesis fields: returns (K, S, R, C).
 
@@ -520,12 +589,28 @@ def ncc_eval_pallas_multi(
     valid extents come from src_widths/heights as usual). Per-hypothesis results
     are bit-identical to K separate calls: the union sweep's extra
     (slab, window) steps contribute exact zeros in the same accumulation
-    order."""
+    order.
+
+    When ``src_quads`` (solver.pack_source_quads) is given, sampling uses
+    the quad-packed 8-bit texture instead of ``src_imgs`` (one gather per
+    tap pair-row fetches all 4 bilinear corners; params.src_quant8).
+    """
     S, Hp, Wp = src_imgs.shape
-    if Wp % WIN:
-        src_imgs = _pad_to(src_imgs, (0, 8, WIN))
-        S, Hp, Wp = src_imgs.shape
-    assert Hp % 8 == 0 and Wp % WIN == 0, (Hp, Wp)
+    quad = src_quads is not None
+    if quad:
+        if src_quads.shape[2] % WIN:
+            src_quads = _pad_to(src_quads, (0, 8, WIN), fill=0)
+        src_tex = src_quads
+        qaff = jnp.stack([quad_iscale, quad_lo]).reshape(
+            1, 2).astype(jnp.float32)
+    else:
+        if Wp % WIN:
+            src_imgs = _pad_to(src_imgs, (0, 8, WIN))
+            S, Hp, Wp = src_imgs.shape
+        assert Hp % 8 == 0 and Wp % WIN == 0, (Hp, Wp)
+        src_tex = src_imgs
+        qaff = jnp.zeros((1, 2), jnp.float32)
+    tex_rows, tex_cols = src_tex.shape[1], src_tex.shape[2]
     K, R, C, _ = planes.shape
     T = len(offsets)
 
@@ -556,13 +641,16 @@ def ncc_eval_pallas_multi(
 
     out = pl.pallas_call(
         functools.partial(_kernel, offsets=tuple(offsets),
-                          n_src_rows=Hp, n_src_cols=Wp, cost_max=cost_max,
-                          cap_radius=cap_radius, interpret=interpret),
+                          n_src_rows=tex_rows, n_src_cols=tex_cols,
+                          cost_max=cost_max,
+                          cap_radius=cap_radius, interpret=interpret,
+                          quad=quad),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ab
             pl.BlockSpec(memory_space=pltpu.SMEM),   # kinvt
             pl.BlockSpec(memory_space=pltpu.SMEM),   # wh
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # qaff
             pl.BlockSpec((T, TR, TC), lambda ty, tx, s_: (0, ty, tx),
                          memory_space=pltpu.VMEM),   # w
             pl.BlockSpec((T, TR, TC), lambda ty, tx, s_: (0, ty, tx),
@@ -581,7 +669,8 @@ def ncc_eval_pallas_multi(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, S, Rp, Cp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, WIN), jnp.float32),        # slab-window
+            pltpu.VMEM((8, WIN),
+                       jnp.int32 if quad else jnp.float32),  # slab-window
             pltpu.VMEM((K * T, TR, TC), jnp.float32),  # vals
             pltpu.VMEM((K * T, TR, TC), jnp.float32),  # g0
             pltpu.VMEM((K * T, TR, TC), jnp.float32),  # g1
@@ -592,7 +681,8 @@ def ncc_eval_pallas_multi(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(ab, kinvt, wh, w_, wr_, invw, mref, varref, planeP, xP, yP, src_imgs)
+    )(ab, kinvt, wh, qaff, w_, wr_, invw, mref, varref, planeP, xP, yP,
+      src_tex)
     return out[:, :, :R, :C]
 
 
@@ -610,13 +700,17 @@ def ncc_eval_pallas(
     cost_max: float = 2.0,
     cap_radius: float = 0.0,
     interpret: bool = False,
+    src_quads: Optional[Array] = None,
+    quad_lo: Optional[Array] = None,
+    quad_iscale: Optional[Array] = None,
 ) -> Array:
     """Drop-in replacement for ops.ncc.ncc_eval on 2D pixel sets: the K=1
     case of :func:`ncc_eval_pallas_multi`. Returns (S, R, C) costs."""
     return ncc_eval_pallas_multi(
         refside, src_imgs, src_widths, src_heights, A, b, K_ref,
         plane[None], x, y, tuple(offsets), cost_max,
-        cap_radius=cap_radius, interpret=interpret)[0]
+        cap_radius=cap_radius, interpret=interpret, src_quads=src_quads,
+        quad_lo=quad_lo, quad_iscale=quad_iscale)[0]
 
 
 def _zncc_from_samples(refside: NCCRefSide, vals: Array, oob: Array,
@@ -637,14 +731,20 @@ def _zncc_from_samples(refside: NCCRefSide, vals: Array, oob: Array,
 
 
 def _sample_view_vals(src_img, wh_row, ab_row, kinvt, plane4, xf, yf,
-                      offsets, cost_max, interpret, cap_radius=0.0):
+                      offsets, cost_max, interpret, cap_radius=0.0,
+                      src_quad=None, qaff=None):
     """Raw tap samples for ONE view over a flat pixel stream.
 
     Inputs are (N,)-flat (already sorted for footprint coherence); returns
-    (T+1, N): T tap samples + the out-of-bounds flag row."""
+    (T+1, N): T tap samples + the out-of-bounds flag row. ``src_quad``
+    ((Hq, Wp) int32) switches sampling to the quad-packed texture."""
     T = len(offsets)
     N = xf.shape[0]
-    Hp, Wp = src_img.shape
+    quad = src_quad is not None
+    src_tex = src_quad if quad else src_img
+    Hp, Wp = src_tex.shape
+    if qaff is None:
+        qaff = jnp.zeros((1, 2), jnp.float32)
     # tile the stream as (rows of 128); edge-pad so the padding pixels'
     # footprints coincide with the last real pixel's
     n_rows = -(-N // TC)
@@ -669,12 +769,13 @@ def _sample_view_vals(src_img, wh_row, ab_row, kinvt, plane4, xf, yf,
         functools.partial(_kernel, offsets=tuple(offsets), n_src_rows=Hp,
                           n_src_cols=Wp, cost_max=cost_max,
                           cap_radius=cap_radius, emit_vals=True,
-                          interpret=interpret),
+                          interpret=interpret, quad=quad),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ab (1, 12)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # kinvt
             pl.BlockSpec(memory_space=pltpu.SMEM),   # wh (1, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # qaff (1, 2)
             pl.BlockSpec((T, TR, TC), zmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec((T, TR, TC), zmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, TC), zmap2, memory_space=pltpu.VMEM),
@@ -691,7 +792,7 @@ def _sample_view_vals(src_img, wh_row, ab_row, kinvt, plane4, xf, yf,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T + 1, n_rows_p, TC), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, WIN), jnp.float32),
+            pltpu.VMEM((8, WIN), jnp.int32 if quad else jnp.float32),
             pltpu.VMEM((T, TR, TC), jnp.float32),
             pltpu.VMEM((T, TR, TC), jnp.float32),
             pltpu.VMEM((T, TR, TC), jnp.float32),
@@ -702,8 +803,8 @@ def _sample_view_vals(src_img, wh_row, ab_row, kinvt, plane4, xf, yf,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(ab_row, kinvt, wh_row, dummy_t, dummy_t, dummy_1, dummy_1, dummy_1,
-      p2, x2, y2, src_img[None])
+    )(ab_row, kinvt, wh_row, qaff, dummy_t, dummy_t, dummy_1, dummy_1,
+      dummy_1, p2, x2, y2, src_tex[None])
     return out.reshape(T + 1, Np)[:, :N]
 
 
@@ -724,6 +825,9 @@ def ncc_eval_pallas_sorted(
     cost_max: float = 2.0,
     cap_radius: float = 0.0,
     interpret: bool = False,
+    src_quads: Optional[Array] = None,
+    quad_lo: Optional[Array] = None,
+    quad_iscale: Optional[Array] = None,
 ) -> Array:
     """ncc_eval for *incoherent* (e.g. per-pixel-random-depth) plane fields.
 
@@ -739,6 +843,14 @@ def ncc_eval_pallas_sorted(
     if Wp % WIN:
         src_imgs = _pad_to(src_imgs, (0, 8, WIN))
         S, Hp, Wp = src_imgs.shape
+    quad = src_quads is not None
+    if quad:
+        if src_quads.shape[2] % WIN:
+            src_quads = _pad_to(src_quads, (0, 8, WIN), fill=0)
+        qaff = jnp.stack([quad_iscale, quad_lo]).reshape(
+            1, 2).astype(jnp.float32)
+    else:
+        qaff = None
     R, C = x.shape
     T = len(offsets)
     N = R * C
@@ -771,7 +883,9 @@ def ncc_eval_pallas_sorted(
         vals_s = _sample_view_vals(src_imgs[s], wh[s:s + 1], ab[s:s + 1],
                                    kinvt, plane_s, xs_, ys_,
                                    tuple(offsets), cost_max, interpret,
-                                   cap_radius=cap_radius)
+                                   cap_radius=cap_radius,
+                                   src_quad=src_quads[s] if quad else None,
+                                   qaff=qaff)
         inv = jnp.argsort(ids_s)
         vals = jnp.take(vals_s, inv, axis=1)        # back to pixel order
         samples = vals[:T].reshape(T, R, C)

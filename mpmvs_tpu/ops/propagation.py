@@ -108,6 +108,12 @@ class SolveData(NamedTuple):
     src_depths: Optional[Array] = None    # (S, Hp, Wp), geom mode
     prior_planes: Optional[Array] = None  # (H, W, 4), prior mode
     prior_mask: Optional[Array] = None    # (H, W) bool
+    # Quad-packed source texture for the Pallas kernel (params.src_quant8):
+    # (S, Hq, Wp) int32, pair-row r2 column c packs the 2x2 patch
+    # src[2r2:2r2+2, c:c+2] as 4 bytes; v = byte * quad_iscale + quad_lo.
+    src_quads: Optional[Array] = None
+    quad_lo: Optional[Array] = None       # () f32 affine offset
+    quad_iscale: Optional[Array] = None   # () f32 affine scale (hi-lo)/255
 
 
 class PatchMatchState(NamedTuple):
@@ -336,13 +342,19 @@ def _band_step(
         # interpret-mode off-TPU so explicit sampler="pallas*" still runs
         # (e.g. CPU tests) instead of failing at Mosaic compile (ADVICE r3)
         interp = jax.default_backend() != "tpu"
+        # quad-packed 8-bit sampling (params.src_quant8): present only when
+        # build_solve_data packed the texture
+        qkw = (dict(src_quads=data.src_quads, quad_lo=data.quad_lo,
+                    quad_iscale=data.quad_iscale)
+               if getattr(params, "src_quant8", False)
+               and data.src_quads is not None else {})
 
         def ncc(plane):
             return ncc_eval_pallas(
                 refside, data.src_imgs, data.src_widths, data.src_heights,
                 data.A, data.b, data.K_ref, plane, x_p, y_p,
                 tuple(offsets), params.cost_max, cap_radius=cap,
-                interpret=interp)
+                interpret=interp, **qkw)
 
         def ncc_batch(planes):
             # K-stacked kernel: all hypotheses share each DMA'd source
@@ -351,7 +363,7 @@ def _band_step(
                 refside, data.src_imgs, data.src_widths, data.src_heights,
                 data.A, data.b, data.K_ref, planes, x_p, y_p,
                 tuple(offsets), params.cost_max, cap_radius=cap,
-                interpret=interp)
+                interpret=interp, **qkw)
 
         if sampler == "pallas_sorted":
             # opt-in: bucket-sorted kernel sampling for the random-depth
@@ -361,7 +373,7 @@ def _band_step(
                     refside, data.src_imgs, data.src_widths,
                     data.src_heights, data.A, data.b, data.K_ref, plane,
                     x_p, y_p, tuple(offsets), params.cost_max,
-                    cap_radius=cap, interpret=interp)
+                    cap_radius=cap, interpret=interp, **qkw)
         elif params.coherent_random and cap > 0.0:
             # banded random-depth draws + the footprint cap keep every
             # trial's per-tile sweep bounded — the sweep kernel handles

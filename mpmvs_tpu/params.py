@@ -84,6 +84,18 @@ class PatchMatchParams:
     # junk random-normal extrapolations in not-yet-converged regions.
     # Adoption still stores the original plane. 0 disables.
     disp_clamp_frac: float = 1.0 / 16.0
+    # Quad-packed source sampling (documented deviation, round 5): the
+    # Pallas sweep kernel samples sources from a prepacked texture holding
+    # each 2x2 bilinear patch as 4 x uint8 in one 32-bit lane, so ONE
+    # lane-gather fetches all four corners (vs 4 gathers), sweep steps
+    # cover 16 source rows (vs 8), and slab DMA halves. Sample values are
+    # quantized to 256 levels on a per-stack affine grid — EXACT for
+    # imagery decoded from 8-bit files (the reference's input domain,
+    # colmap2mvsnet_acm.py images; the reference itself scores uint8
+    # texels, PatchMatch.cpp:73-77 CV_8U + tex2D<uint8_t>), and ~0.2%
+    # sample noise for synthetic float imagery. ZNCC is invariant to the
+    # affine rescale itself. Off = round-4 f32 sampling.
+    src_quant8: bool = True
     # Init normals drawn within a cone of this half-angle around the
     # anti-viewing ray (documented deviation — ops/random.cone_normal_field):
     # near-grazing seeds dominate the sweep kernel's early footprints; the

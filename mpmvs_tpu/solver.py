@@ -61,15 +61,52 @@ class SolveResult(NamedTuple):
     geom_cost: Array    # (H, W)
 
 
+def pack_source_quads(src: Array):
+    """Quad texture for the Pallas kernel (params.src_quant8): pair-row r2
+    column c holds the 2x2 bilinear patch src[2r2:2r2+2, c:c+2] quantized
+    to 4 x uint8 in one int32 — one lane-gather fetches all four corners.
+
+    Quantization grid: per-stack affine (lo + k*(hi-lo)/255). ZNCC is
+    invariant to the affine itself; for imagery decoded from 8-bit files
+    (lo=0, hi=1 after /255) the grid is exact. Returns
+    (quads (S, Hq, Wp) int32, lo (), iscale ()) with Hq a multiple of 8.
+    """
+    pad16 = (-src.shape[1]) % 16
+    if pad16:
+        src = jnp.pad(src, ((0, 0), (0, pad16), (0, 0)))
+    lo_raw = jnp.min(src)
+    hi_raw = jnp.max(src)
+    # Snap to the standard 8-bit grids when the data fits one: images in
+    # [0, 1] (decoded u8 / 255) quantize on k/255 exactly, raw byte-valued
+    # images on k — matching the reference's own uint8 texel scoring
+    # (PatchMatch.cpp:73-77). Arbitrary float imagery falls back to its
+    # own min/max grid (~1/512-of-range sample noise).
+    unit = (lo_raw >= 0.0) & (hi_raw <= 1.0)
+    byte = (lo_raw >= 0.0) & (hi_raw <= 255.0)
+    lo = jnp.where(unit | byte, 0.0, lo_raw)
+    hi = jnp.where(unit, 1.0, jnp.where(byte, 255.0, hi_raw))
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip(jnp.round((src - lo) * scale), 0.0, 255.0).astype(jnp.int32)
+    top = q[:, 0::2, :]
+    bot = q[:, 1::2, :]
+    # column c+1 (last column replicates; the kernel folds corner2 onto
+    # corner1 at the valid-width edge so the byte is never weighted there)
+    s1 = lambda a: jnp.concatenate([a[:, :, 1:], a[:, :, -1:]], axis=-1)
+    quads = top | (s1(top) << 8) | (bot << 16) | (s1(bot) << 24)
+    return quads, lo, 1.0 / scale
+
+
 def build_solve_data(
     images: Array,            # (V, H, W) float32, index 0 = reference
     cameras: CameraStack,     # V stacked cameras, index 0 = reference
     src_depths: Optional[Array] = None,   # (V-1, H, W) neighbor depths
     prior_planes: Optional[Array] = None,
     prior_mask: Optional[Array] = None,
+    quant8: bool = False,
 ) -> SolveData:
     """Assemble per-view constants. Depth range is widened to
-    [0.6*min, 1.2*max] like the reference (PatchMatch.cpp:929-930)."""
+    [0.6*min, 1.2*max] like the reference (PatchMatch.cpp:929-930).
+    ``quant8`` additionally packs the quad texture (pack_source_quads)."""
     ref = cameras.view(0)
     A, b = geo.homography_terms(ref.K, ref.R, ref.C,
                                 cameras.K[1:], cameras.R[1:], cameras.C[1:])
@@ -81,7 +118,10 @@ def build_solve_data(
     pad_w = (-src.shape[2]) % 128
     if pad_h or pad_w:
         src = jnp.pad(src, ((0, 0), (0, pad_h), (0, pad_w)))
+    quads, qlo, qis = (pack_source_quads(src) if quant8
+                       else (None, None, None))
     return SolveData(
+        src_quads=quads, quad_lo=qlo, quad_iscale=qis,
         ref_img=images[0],
         src_imgs=src,
         src_widths=cameras.width[1:],
@@ -98,6 +138,14 @@ def build_solve_data(
     )
 
 
+def _wants_quads(params: PatchMatchParams) -> bool:
+    """Will this solve's sampler read the quad texture (src_quant8)?"""
+    if not getattr(params, "src_quant8", False):
+        return False
+    return params.sampler in ("pallas", "pallas_sorted") or (
+        params.sampler == "auto" and jax.default_backend() == "tpu")
+
+
 def _ncc_sampler(params: PatchMatchParams):
     """ncc_eval-compatible callable for the init (random-plane) scoring.
 
@@ -112,6 +160,11 @@ def _ncc_sampler(params: PatchMatchParams):
         sampler = "pallas" if jax.default_backend() == "tpu" else "xla"
     cap = params.cap_radius(params.max_scale)
     interp = jax.default_backend() != "tpu"
+    qkw = lambda data: (
+        dict(src_quads=data.src_quads, quad_lo=data.quad_lo,
+             quad_iscale=data.quad_iscale)
+        if getattr(params, "src_quant8", False)
+        and data.src_quads is not None else {})
     if sampler == "pallas_sorted":
         from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas_sorted
 
@@ -119,7 +172,8 @@ def _ncc_sampler(params: PatchMatchParams):
             return ncc_eval_pallas_sorted(
                 refside, data.src_imgs, data.src_widths, data.src_heights,
                 data.A, data.b, data.K_ref, plane, xb, yb, tuple(offsets),
-                params.cost_max, cap_radius=cap, interpret=interp)
+                params.cost_max, cap_radius=cap, interpret=interp,
+                **qkw(data))
         return fn
     if sampler == "pallas" and params.coherent_random and cap > 0.0:
         from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas
@@ -128,7 +182,8 @@ def _ncc_sampler(params: PatchMatchParams):
             return ncc_eval_pallas(
                 refside, data.src_imgs, data.src_widths, data.src_heights,
                 data.A, data.b, data.K_ref, plane, xb, yb, tuple(offsets),
-                params.cost_max, cap_radius=cap, interpret=interp)
+                params.cost_max, cap_radius=cap, interpret=interp,
+                **qkw(data))
         return fn
 
     def fn(refside, data, plane, xb, yb, offsets):
@@ -265,7 +320,7 @@ def solve_view_impl(
                                         mode="constant")
 
     data = build_solve_data(images, cameras, src_depths, prior_planes,
-                            prior_mask)
+                            prior_mask, quant8=_wants_quads(params))
     H, W = data.ref_img.shape
     S = data.src_imgs.shape[0]
 
@@ -443,7 +498,8 @@ def warmup_stepped_programs(images, cameras, key, params: PatchMatchParams,
             if src_depths is not None:
                 src_depths = _pad_rows_cols(src_depths, pad_h, pad_w,
                                             mode="constant")
-        data = build_solve_data(imgs, cameras, src_depths)
+        data = build_solve_data(imgs, cameras, src_depths,
+                                quant8=_wants_quads(params))
         H, W = data.ref_img.shape
         S = data.src_imgs.shape[0]
         band_rows = params.band_rows if params.band_rows > 0 else (
@@ -543,7 +599,7 @@ def solve_view_stepped(
                                         mode="constant")
 
     data = build_solve_data(images, cameras, src_depths, prior_planes,
-                            prior_mask)
+                            prior_mask, quant8=_wants_quads(params))
     H, W = data.ref_img.shape
     S = data.src_imgs.shape[0]
     band_rows = params.band_rows if params.band_rows > 0 else (

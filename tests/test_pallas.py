@@ -227,3 +227,75 @@ def test_sorted_scatter_matches_xla_on_random_planes(setup):
     c_srt = np.asarray(ncc_eval_pallas_sorted(
         refside, *args, tuple(offsets), params.cost_max, interpret=True))
     np.testing.assert_allclose(c_srt, c_xla, atol=2e-4)
+
+
+class TestQuadTexture:
+    """Quad-packed 8-bit sampling (params.src_quant8, round 5): one gather
+    per (tap, pair-row) fetches all 4 bilinear corners from a prepacked
+    int32 texture (solver.pack_source_quads)."""
+
+    def _eval_quad_and_f32(self, images, scale=0):
+        from mpmvs_tpu.ops.pallas_ncc import ncc_eval_pallas_multi
+        from mpmvs_tpu.ops import random as rnd
+
+        scene = make_plane_scene(num_views=3, height=48, width=128, seed=7)
+        params = PatchMatchParams()
+        data = build_solve_data(images, scene.cameras, quant8=True)
+        offsets = tuple(params.tap_offsets(scale))
+        cap = params.cap_radius(scale)
+        rows, W = 16, 128
+        r0 = 16
+        x, y = geo.pixel_grid(rows, W)
+        y = y + r0
+        refside = ncc_refside(data.ref_img, r0, rows, offsets,
+                              params.sigma_spatial, params.sigma_color)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        n = rnd.cone_normal_field(k1, data.K_ref, x, y, 0.9)
+        d = rnd.smooth_banded_uniform(*jax.random.split(k2), x, y,
+                                      data.depth_min, data.depth_max,
+                                      1.0 / 16.0)
+        planes = geo.plane_from_depth_normal(data.K_ref, x, y, d, n)[None]
+        args = (refside, data.src_imgs, data.src_widths, data.src_heights,
+                data.A, data.b, data.K_ref, planes, x, y, offsets,
+                params.cost_max)
+        c_f32 = ncc_eval_pallas_multi(*args, cap_radius=cap, interpret=True)
+        c_quad = ncc_eval_pallas_multi(
+            *args, cap_radius=cap, interpret=True,
+            src_quads=data.src_quads, quad_lo=data.quad_lo,
+            quad_iscale=data.quad_iscale)
+        return np.asarray(c_f32), np.asarray(c_quad), data
+
+    def test_exact_on_byte_grid_imagery(self):
+        """Byte-integer imagery (the reference's input domain) quantizes
+        exactly: quad costs match the f32 kernel to accumulation order."""
+        scene = make_plane_scene(num_views=3, height=48, width=128, seed=7)
+        images = jnp.round(jnp.asarray(scene.images))  # integer 0..255
+        c_f32, c_quad, data = self._eval_quad_and_f32(images)
+        assert float(data.quad_lo) == 0.0
+        assert abs(float(data.quad_iscale) - 1.0) < 1e-6
+        np.testing.assert_allclose(c_quad, c_f32, atol=5e-4)
+
+    def test_close_on_continuous_imagery(self):
+        """Continuous float imagery: quantization adds ~1/512-of-range
+        sample noise; costs agree within a small tolerance."""
+        scene = make_plane_scene(num_views=3, height=48, width=128, seed=7)
+        c_f32, c_quad, _ = self._eval_quad_and_f32(
+            jnp.asarray(scene.images))
+        diff = np.abs(c_quad - c_f32)
+        assert diff.max() < 3e-2, diff.max()
+        assert diff.mean() < 3e-3, diff.mean()
+
+    def test_pack_source_quads_layout(self):
+        from mpmvs_tpu.solver import pack_source_quads
+
+        src = jnp.arange(2 * 16 * 128, dtype=jnp.float32).reshape(
+            2, 16, 128) % 251.0
+        quads, lo, iscale = pack_source_quads(src)
+        assert quads.shape == (2, 8, 128) and quads.dtype == jnp.int32
+        q = np.asarray(quads)
+        s = np.asarray(jnp.round(src)).astype(np.int64)
+        r2, c = 3, 17
+        expect = (s[1, 2 * r2, c] | (s[1, 2 * r2, c + 1] << 8)
+                  | (s[1, 2 * r2 + 1, c] << 16)
+                  | (s[1, 2 * r2 + 1, c + 1] << 24))
+        assert (np.int64(q[1, r2, c]) & 0xFFFFFFFF) == expect

@@ -42,6 +42,8 @@ def main() -> int:
     ap.add_argument("--cases", default="coherent,trials")
     ap.add_argument("--cap-mult", type=float, default=None,
                     help="override params.footprint_cap_mult")
+    ap.add_argument("--quad", action="store_true",
+                    help="sample from the quad-packed 8-bit texture")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +65,8 @@ def main() -> int:
     params = PatchMatchParams(band_rows=args.band_rows, **pkw)
     scene = make_plane_scene(num_views=args.views, height=args.height,
                              width=args.width, seed=0)
-    data = build_solve_data(jnp.asarray(scene.images), scene.cameras)
+    data = build_solve_data(jnp.asarray(scene.images), scene.cameras,
+                            quant8=args.quad)
 
     H, W = args.height, args.width
     br = args.band_rows
@@ -110,10 +113,12 @@ def main() -> int:
 
     for name in args.cases.split(","):
         planes = jax.block_until_ready(cases[name](jax.random.PRNGKey(7)))
+        qkw = (dict(src_quads=data.src_quads, quad_lo=data.quad_lo,
+                    quad_iscale=data.quad_iscale) if args.quad else {})
         call = lambda p: ncc_eval_pallas_multi(
             refside, data.src_imgs, data.src_widths, data.src_heights,
             data.A, data.b, data.K_ref, p, xb, yb, tuple(offsets),
-            params.cost_max, cap_radius=cap, interpret=interp)
+            params.cost_max, cap_radius=cap, interpret=interp, **qkw)
         # a tiny device fetch forces completion — block_until_ready lies on
         # tunneled runtimes (same workaround as bench.py's _Recorder)
         fetch = lambda o: np.asarray(o[0, 0, 0:1, 0:1])
@@ -129,6 +134,7 @@ def main() -> int:
         t_eval = min(ts)
         print(json.dumps({
             "case": name, "win_blocks": WIN_BLOCKS, "k": args.k,
+            "quad": args.quad,
             "band_rows": br, "shape": f"{args.width}x{args.height}x{S}src",
             "scale": scale, "cap_radius": cap,
             "t_compile_s": round(t_compile, 2),

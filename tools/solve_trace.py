@@ -94,7 +94,8 @@ def main() -> int:
     # pad like solve_view_stepped does
     pad_h, pad_w = H % 2, W % 2
     assert pad_h == 0 and pad_w == 0, "use even dims for the trace"
-    data = build_solve_data(images, scene.cameras, src_depths)
+    data = build_solve_data(images, scene.cameras, src_depths,
+                            quant8=params0.src_quant8)
 
     key = jax.random.PRNGKey(3)
     if args.state == "init":
