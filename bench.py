@@ -200,7 +200,7 @@ def child_main() -> int:
     geom_passes = 2  # reference default: config/config.yaml:18
     roofline, chip = roofline_taps_per_s(jax.devices()[0].device_kind)
 
-    state = {"photo": None, "geom": None}
+    state = {"photo": None, "geom": None, "geom2": None}
 
     def summarize(final: bool):
         out = {
@@ -225,8 +225,15 @@ def child_main() -> int:
                 "photo_measured_units": f"{nm}/{ne}",
                 "taps_per_s": round(taps_photo / t_photo / 1e9, 3),
                 "taps_per_s_unit": "Gtaps/s",
+                # pct_roofline keeps the r1-r4 f32 model (16 B/tap) for
+                # cross-round comparability; with the round-5 quad-packed
+                # 8-bit texture a tap costs 4 B of HBM, so the honest
+                # speed-of-light bound for that path is 4x higher — both
+                # are reported, model inputs in roofline_model
                 "pct_roofline": round(100.0 * taps_photo / t_photo
                                       / roofline, 2),
+                "pct_roofline_q8": round(100.0 * taps_photo / t_photo
+                                         / (roofline * 4.0), 2),
             })
             t_full = t_photo
             if state["geom"] is not None:
@@ -237,7 +244,22 @@ def child_main() -> int:
                     "t_geom_pass_s": round(t_geom, 2),
                     "geom_measured_units": f"{nmg}/{neg}",
                 })
-                t_full += geom_passes * t_geom
+                t_full += t_geom
+                if state["geom2"] is not None:
+                    # both geometric passes measured on the chip — the full
+                    # reference schedule (config/config.yaml:18) with no
+                    # modeled terms when extrap stays False
+                    t_g2, nmg2, neg2, exg2 = _fill_schedule(state["geom2"],
+                                                            "geom", params)
+                    extrap |= exg2
+                    out.update({
+                        "t_geom_pass2_s": round(t_g2, 2),
+                        "geom2_measured_units": f"{nmg2}/{neg2}",
+                    })
+                    t_full += t_g2
+                else:
+                    extrap = True
+                    t_full += (geom_passes - 1) * t_geom
             else:
                 # no geom measurement yet: scale photometric per-half cost
                 extrap = True
@@ -263,10 +285,15 @@ def child_main() -> int:
     # the first units, inflating them, but they still stream). ---
     if deadline - time.perf_counter() > 900:
         t_w = time.perf_counter()
-        warmup_stepped_programs(images, scene.cameras, jax.random.PRNGKey(9),
-                                params)
+        # deadline-capped at 45% of the remaining budget: on a cold cache a
+        # full warmup can take ~25 min on a 2-core host (every program is a
+        # TPU compile running on the host CPU); past the cap the remaining
+        # programs compile lazily inside the measured run instead
+        n_warm = warmup_stepped_programs(
+            images, scene.cameras, jax.random.PRNGKey(9), params,
+            deadline=t_w + 0.45 * (deadline - t_w))
         emit({"warmup_s": round(time.perf_counter() - t_w, 1),
-              "final": False})
+              "warmup_programs": n_warm, "final": False})
 
     # --- photometric pass ---
     photo_deadline = min(deadline, time.perf_counter()
@@ -300,6 +327,24 @@ def child_main() -> int:
                                   progress_cb=recg)
         np.asarray(resg.depth[0:1, 0:1])
         state["geom"] = list(recg.units)
+
+        # --- second geometric pass (reference runs 2: config.yaml:18),
+        # warm-started from the first like the real pipeline ---
+        if not recg.aborted and time.perf_counter() < deadline - 30:
+            def on_unit_geom2(recg2):
+                state["geom2"] = list(recg2.units)
+                emit(dict(summarize(False),
+                          last_unit="geom2/" + recg2.units[-1][0],
+                          last_unit_s=round(recg2.units[-1][1], 2)))
+
+            recg2 = _Recorder(deadline, on_unit_geom2)
+            recg2.restart_clock()
+            resg2 = solve_view_stepped(images, scene.cameras,
+                                       jax.random.PRNGKey(2), params, "geom",
+                                       warm=resg, src_depths=src_depths,
+                                       progress_cb=recg2)
+            np.asarray(resg2.depth[0:1, 0:1])
+            state["geom2"] = list(recg2.units)
 
     emit(summarize(True))
     return 0

@@ -286,6 +286,112 @@ def run_fusion(depths, normals, colors, cameras: CameraStack,
 
 
 @jax.jit
+def fusion_gate_funnel(inp: FusionInput, masks: Array, ref_idx: Array,
+                       src_indices: Array, src_valid: Array):
+    """Per-gate candidate acceptance counts for one reference view
+    (VERDICT r4 weak #4: which gate kills fusion candidates?).
+
+    Replays fuse_one_view's per-(source, pixel) consistency chain
+    (PatchMatch.cpp:403-496) and counts survivors after each successive
+    gate, unchunked (diagnostic resolutions fit in one shot). Returns a
+    dict of scalar counts over the S x H x W candidate set plus per-pixel
+    consistency statistics. Counts are cumulative: each gate is ANDed with
+    all previous ones, so the drop between adjacent rows is that gate's
+    kill count.
+    """
+    V, H, W = inp.depths.shape
+    cams = inp.cameras
+    take = lambda arr, i: jnp.take(arr, i, axis=0)
+    K_r, R_r, t_r = (take(cams.K, ref_idx), take(cams.R, ref_idx),
+                     take(cams.t, ref_idx))
+    C_r = -R_r.T @ t_r
+    depth_r = take(inp.depths, ref_idx)
+    normal_r = take(inp.normals, ref_idx)
+    mask_r = take(masks, ref_idx)
+    x, y = geo.pixel_grid(H, W)
+    valid_ref = (depth_r > 0.0) & ~mask_r
+    Xw = geo.backproject_world(K_r, R_r, C_r, x, y, depth_r)
+
+    K_s = jnp.take(cams.K, src_indices, axis=0)
+    R_s = jnp.take(cams.R, src_indices, axis=0)
+    t_s = jnp.take(cams.t, src_indices, axis=0)
+    C_s = -jnp.einsum("sji,sj->si", R_s, t_s)
+    S = src_indices.shape[0]
+
+    pt, proj_depth = geo.project_camera(
+        K_s[:, None, None], R_s[:, None, None], t_s[:, None, None], Xw[None])
+    src_c = jnp.floor(pt[..., 0] + 0.5).astype(jnp.int32)
+    src_r = jnp.floor(pt[..., 1] + 0.5).astype(jnp.int32)
+    in_bounds = (src_c >= 0) & (src_c < W) & (src_r >= 0) & (src_r < H)
+    cc = jnp.clip(src_c, 0, W - 1)
+    rc = jnp.clip(src_r, 0, H - 1)
+    lin = (rc * W + cc).reshape(S, H * W)
+
+    def gather_src(a):
+        sel = jnp.take(a, src_indices, axis=0)
+        if sel.ndim == 3:
+            return jnp.take_along_axis(sel.reshape(S, H * W), lin,
+                                       axis=1).reshape(S, H, W)
+        Cc = sel.shape[-1]
+        return jnp.take_along_axis(sel.reshape(S, H * W, Cc),
+                                   lin[..., None], axis=1).reshape(S, H, W, Cc)
+
+    depth_s = gather_src(inp.depths)
+    normal_s = gather_src(inp.normals)
+    mask_s = gather_src(masks.astype(jnp.int32)) > 0
+    Xs = geo.backproject_world(
+        K_s[:, None, None], R_s[:, None, None], C_s[:, None, None],
+        src_c.astype(jnp.float32), src_r.astype(jnp.float32), depth_s)
+    back_pt, _ = geo.project_camera(K_r, R_r, t_r, Xs)
+    reproj_err = jnp.sqrt((x[None] - back_pt[..., 0]) ** 2
+                          + (y[None] - back_pt[..., 1]) ** 2)
+    rel_dd = (jnp.abs(proj_depth - depth_r[None])
+              / jnp.maximum(depth_r[None], 1e-12))
+    dot = jnp.clip(jnp.sum(normal_r[None] * normal_s, axis=-1), -1.0, 1.0)
+    angle = jnp.arccos(dot)
+    angle = jnp.where(jnp.isnan(angle), 0.0, angle)
+
+    vv = src_valid[:, None, None] & valid_ref[None]
+    chain = [
+        ("candidates", vv),
+        ("in_bounds", vv & in_bounds),
+        ("src_not_consumed", vv & in_bounds & ~mask_s),
+        ("src_depth_pos", vv & in_bounds & ~mask_s & (depth_s > 0.0)),
+        ("reproj_lt2", vv & in_bounds & ~mask_s & (depth_s > 0.0)
+         & (reproj_err < 2.0)),
+        ("rel_dd_lt_0.01", vv & in_bounds & ~mask_s & (depth_s > 0.0)
+         & (reproj_err < 2.0) & (rel_dd < 0.01)),
+        ("angle_lt_10deg", vv & in_bounds & ~mask_s & (depth_s > 0.0)
+         & (reproj_err < 2.0) & (rel_dd < 0.01) & (angle < 0.174533)),
+    ]
+    out = {name: jnp.sum(m) for name, m in chain}
+    consistent = chain[-1][1]
+    # un-gated (no last-source holdout) per-pixel statistics — the funnel is
+    # a diagnostic of the *gates*, not of the sequential quirk
+    n_cons = jnp.sum(consistent, axis=0)
+    w_dyn = jnp.where(consistent,
+                      jnp.exp(-(reproj_err + 200.0 * rel_dd + 10.0 * angle)),
+                      0.0)
+    dyn = jnp.sum(w_dyn, axis=0)
+    out["px_valid_ref"] = jnp.sum(valid_ref)
+    out["px_ncons_ge1"] = jnp.sum(valid_ref & (n_cons >= 1))
+    out["px_ncons_ge2"] = jnp.sum(valid_ref & (n_cons >= 2))
+    out["px_dynamic_accept"] = jnp.sum(valid_ref & (n_cons >= 1)
+                                       & (dyn > 0.3 * n_cons))
+    out["px_static_accept"] = out["px_ncons_ge2"]
+    # marginal single-gate kills among in-bounds live candidates (how many
+    # candidates fail ONLY this gate) — separates "gates overlap" from
+    # "one gate dominates"
+    live = vv & in_bounds & ~mask_s & (depth_s > 0.0)
+    g_r, g_d, g_a = (reproj_err < 2.0), (rel_dd < 0.01), (angle < 0.174533)
+    out["only_reproj_fails"] = jnp.sum(live & ~g_r & g_d & g_a)
+    out["only_rel_dd_fails"] = jnp.sum(live & g_r & ~g_d & g_a)
+    out["only_angle_fails"] = jnp.sum(live & g_r & g_d & ~g_a)
+    # int32 is ample: counts are bounded by S*H*W (~4e6 at eval shapes)
+    return {k: v.astype(jnp.int32) for k, v in out.items()}
+
+
+@jax.jit
 def _mark_used(masks: Array, out: ViewFusion, ref_idx: Array,
                src_indices: Array) -> Array:
     V, H, W = masks.shape

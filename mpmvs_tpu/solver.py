@@ -465,19 +465,33 @@ _finalize_jit = jax.jit(_finalize, static_argnames=("H0", "W0"))
 
 
 def warmup_stepped_programs(images, cameras, key, params: PatchMatchParams,
-                            modes=("photometric", "geom")) -> int:
+                            modes=("photometric", "geom"),
+                            deadline: Optional[float] = None) -> int:
     """Compile (and once-execute on band 0) every device program a stepped
     solve will dispatch: init band, each (scale, phase) band program, the
     merge and the finalize. The benchmark calls this before its recorded
     run so per-unit timings measure execution, not compilation (the
     persistent compile cache then makes this near-free on re-runs).
-    Returns the number of band programs touched."""
+    Returns the number of band programs touched.
+
+    ``deadline``: optional ``time.perf_counter()`` timestamp — once passed,
+    no FURTHER programs are compiled (a compile in flight is not
+    interrupted). On a cold cache + tight budget the un-warmed programs
+    then compile lazily inside the measured run (inflating their first
+    unit, which still streams) instead of warmup eating the whole budget.
+    """
+    import time as _time
+
     from mpmvs_tpu.ops import propagation as prop
 
+    over = (lambda: _time.perf_counter() > deadline) if deadline else (
+        lambda: False)
     images = jnp.asarray(images)
     V, H0, W0 = images.shape
     n = 0
     for mode in modes:
+        if over():
+            return n
         geom = mode in ("geom", "geom_prior")
         warm = None
         src_depths = None
@@ -529,6 +543,8 @@ def warmup_stepped_programs(images, cameras, key, params: PatchMatchParams,
             pads = _pad_step_jit(state, data, halo=halo, pad_b=pad_b,
                                  prior=False)
             for phase in (0, 1):
+                if over():
+                    return n
                 out = _band_call_jit(
                     pads, data, params, scale=scale,
                     iteration=jnp.int32(0), phase=phase, key_b=key,

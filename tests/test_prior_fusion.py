@@ -128,6 +128,43 @@ class TestFusion:
         # all views see the same plane; masking must prevent ~3x duplication
         assert len(pts) < 1.2 * 48 * 64
 
+    def test_gate_funnel_consistent_with_accept(self):
+        """fusion_gate_funnel's chain must be monotone, and its dynamic
+        acceptance count must equal fuse_one_view's (the funnel skips only
+        the last-source holdout quirk, which GT-consistent inputs never
+        trigger differently: every source is consistent everywhere)."""
+        import jax
+        from mpmvs_tpu.fusion import (FusionInput, fuse_one_view,
+                                      fusion_gate_funnel)
+
+        scene = make_plane_scene(num_views=3, height=48, width=64, seed=6)
+        V = 3
+        normals = np.broadcast_to(scene.gt_normal_world, (V, 48, 64, 3)).copy()
+        inp = FusionInput(depths=jnp.asarray(scene.gt_depth),
+                          normals=jnp.asarray(normals),
+                          colors=jnp.asarray(scene.colors),
+                          cameras=scene.cameras)
+        masks = jnp.zeros((V, 48, 64), bool)
+        src_idx = jnp.asarray([1, 2], jnp.int32)
+        src_valid = jnp.asarray([True, True])
+        funnel = fusion_gate_funnel(inp, masks, jnp.int32(0), src_idx,
+                                    src_valid)
+        funnel = {k: int(v) for k, v in funnel.items()}
+        order = ["candidates", "in_bounds", "src_not_consumed",
+                 "src_depth_pos", "reproj_lt2", "rel_dd_lt_0.01",
+                 "angle_lt_10deg"]
+        for a, b in zip(order, order[1:]):
+            assert funnel[a] >= funnel[b], (a, b, funnel)
+        assert funnel["angle_lt_10deg"] > 0
+        out = fuse_one_view(inp, masks, jnp.int32(0), src_idx, src_valid,
+                            use_dynamic=True)
+        n_accept = int(np.asarray(out.accept).sum())
+        # the funnel ignores the last-source holdout gate, so it can only
+        # over-count, and only at pixels with exactly one consistent source
+        assert funnel["px_dynamic_accept"] >= n_accept
+        assert (funnel["px_dynamic_accept"] - n_accept
+                <= funnel["px_ncons_ge1"] - funnel["px_ncons_ge2"])
+
     def test_sky_mask_skips(self):
         scene = make_plane_scene(num_views=3, height=48, width=64, seed=6)
         V = 3

@@ -14,7 +14,7 @@ Flow (exactly the user-facing path):
   geometric passes + fusion) -> eval.eval_scene_depths on the .dmb outputs
   + eval.eval_point_cloud on the fused PLY vs the GT cloud.
 
-Writes EVAL_r04.json at the repo root (or --out).
+Writes EVAL_r<N>.json at the repo root (see --out default).
 """
 
 import argparse
@@ -33,7 +33,7 @@ def main() -> int:
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--workdir", default="/tmp/mpmvs_eval_scene")
-    p.add_argument("--out", default=os.path.join(HERE, "EVAL_r04.json"))
+    p.add_argument("--out", default=os.path.join(HERE, "EVAL_r05.json"))
     p.add_argument("--geom-iterations", type=int, default=2)
     p.add_argument("--tau", type=float, default=0.02)
     p.add_argument("--fast", action="store_true",
