@@ -159,9 +159,15 @@ class TestShardedParity:
         # same accuracy bar as the single-device prior pipeline test
         assert np.median(rel) < 0.02, np.median(rel)
 
+    @pytest.mark.slow
     def test_sharded_geom_prior_schedule(self, tmp_path):
         """geomPlanarPrior schedule: prior sub-runs inside every non-final
-        geometric pass, exercised end-to-end on the sharded path."""
+        geometric pass, exercised end-to-end on the sharded path.
+
+        slow: 3 uncacheable SPMD pipeline compiles (~4.5 min on a 2-core
+        host) — the fast lane keeps SPMD coverage via
+        test_tile_sharded_finite + test_entry_compiles, and the driver's
+        dryrun_multichip exercises the sharded schedule every round."""
         from mpmvs_tpu.parallel.view_sharding import ShardedPipeline
 
         scene = make_plane_scene(num_views=3, height=48, width=64, seed=22)

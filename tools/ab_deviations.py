@@ -88,7 +88,7 @@ def run_arm(name, overrides, scene, args):
         "depth_frac_within_2cm": depth["mean"]["frac_within"]["0.02"],
         "cloud": cloud.to_dict(),
         "n_fused_points": int(len(pts)),
-        "per_view_mae": {v: depth[v]["mae"] for v in range(args.views)},
+        "per_view_mae": {v: depth[str(v)]["mae"] for v in range(args.views)},
     }
 
 
