@@ -2,8 +2,9 @@
 
 .PHONY: test-fast test native bench
 
-# Fast lane: unit + oracle tests only. Two workers (loadscope keeps
-# module-scoped solver fixtures on one worker); ~7 min on a 2-core host.
+# Fast lane: unit + oracle tests only. Compile-bound (~23 CPU-min of XLA
+# compiles, cold): measured 12m07s on a 2-core host with 2 workers; ~4 min
+# on a 4-core laptop. Repeat runs hit the persistent compile cache.
 test-fast:
 	python -m pytest tests/ -q -m "not slow" -n 2 --dist loadscope
 

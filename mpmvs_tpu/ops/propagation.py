@@ -401,6 +401,12 @@ def _band_step(
         ncc_scatter = ncc
 
     def gcost(plane):
+        # NB: geom_cost.geom_consistency_cost_fused (precomposed transfer
+        # chains, hypothesis-shared forward rays) is a MEASURED NEGATIVE
+        # here: identical 0.74 s/band on v5e — the term is bound by the
+        # scalar depth gathers + their HBM traffic, not by projection
+        # math (BASELINE.md round-5 geom decomposition). Cutting it needs
+        # a 1-tap variant of the sweep kernel, not algebra.
         if getattr(params, "debug_skip_gcost", False):
             return jnp.broadcast_to(plane[..., 0][..., None, :, :] * 1e-30,
                                     plane.shape[:-3] + (S,) + x_p.shape)

@@ -258,6 +258,55 @@ class TestGeomCost:
         inner = np.asarray(cost)[:, 4:-4, 4:-4]
         assert np.median(inner) < 0.15, np.median(inner)
 
+    def test_fused_matches_reference_formulation(self):
+        """geom_consistency_cost_fused (precomposed transfer chains, shared
+        u_fwd) must match the direct backproject/project formulation to
+        float-reassociation tolerance on BOTH a consistent plane field and
+        a wild random field (oob, behind-camera, clamped fetches)."""
+        from mpmvs_tpu.ops.geom_cost import (backward_transfer_terms,
+                                             geom_consistency_cost_fused)
+        from mpmvs_tpu.ops import random as pmrand
+
+        scene = make_plane_scene(num_views=3, height=40, width=56, seed=12)
+        cams = scene.cameras
+        ref = cams.view(0)
+        x, y = geo.pixel_grid(40, 56)
+        n_cam = geo.normal_world_to_cam(ref.R,
+                                        jnp.asarray(scene.gt_normal_world))
+        plane_gt = geo.plane_from_depth_normal(
+            ref.K, x, y, jnp.asarray(scene.gt_depth[0]),
+            jnp.broadcast_to(n_cam, (40, 56, 3)))
+        plane_rand = pmrand.random_plane_field(
+            jax.random.PRNGKey(3), ref.K, x, y,
+            float(ref.depth_min), float(ref.depth_max))
+
+        A_fwd, b_fwd = geo.homography_terms(ref.K, ref.R, ref.C,
+                                            cams.K[1:], cams.R[1:],
+                                            cams.C[1:])
+        A_bwd, b_bwd = backward_transfer_terms(ref.K, ref.R, ref.C,
+                                               cams.K[1:], cams.R[1:],
+                                               cams.C[1:])
+        p_hom = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+        u_fwd = jnp.einsum("sij,hwj->shwi", A_fwd, p_hom)
+        for plane in (plane_gt, plane_rand):
+            ref_cost = np.asarray(geom_consistency_cost(
+                jnp.asarray(scene.gt_depth[1:]), cams.width[1:],
+                cams.height[1:], ref.K, ref.R, ref.C, ref.t,
+                cams.K[1:], cams.R[1:], cams.t[1:], cams.C[1:],
+                plane, x, y))
+            fused = np.asarray(geom_consistency_cost_fused(
+                jnp.asarray(scene.gt_depth[1:]), cams.width[1:],
+                cams.height[1:], u_fwd, b_fwd, A_bwd, b_bwd, ref.K,
+                plane, x, y))
+            # f32 reassociation of the composed 3x3 chains shifts the
+            # reprojection error by <=~0.02 px (a <=0.004 cost delta after
+            # the 0.2 geometric weight — two orders below the NCC cost
+            # scale), and can flip a truncating nearest-fetch index on
+            # exact-integer boundaries for a vanishing pixel fraction
+            close = np.isclose(fused, ref_cost, atol=5e-2)
+            assert close.mean() > 0.999, close.mean()
+            assert np.abs(np.mean(fused) - np.mean(ref_cost)) < 1e-3
+
     def test_zero_src_depth_max_cost(self):
         scene = make_plane_scene(num_views=2, height=24, width=32, seed=13)
         cams = scene.cameras
