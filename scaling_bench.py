@@ -121,6 +121,10 @@ def main() -> int:
     p.add_argument("--srcs", type=int, default=2)
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     p.add_argument("--out", default=os.path.join(HERE, "SCALING_r05.json"))
+    p.add_argument("--reuse", default="",
+                   help="path to a previous output: keep its measured CPU-"
+                        "mesh curve (e.g. taken on an idle host) and only "
+                        "recompute the projection (new bench solve time)")
     args = p.parse_args()
 
     if os.environ.get("SCALING_CHILD"):
@@ -129,8 +133,11 @@ def main() -> int:
         return 0
 
     n_cores = os.cpu_count() or 1
-    curve = []
-    for d in args.devices:
+    if args.reuse:
+        with open(args.reuse) as f:
+            curve = json.load(f)["measured_cpu_mesh"]
+    curve = curve if args.reuse else []
+    for d in args.devices if not args.reuse else []:
         if d > args.views:
             continue
         # one compute thread per virtual device: otherwise XLA's CPU
